@@ -1,0 +1,236 @@
+"""Shared flax leaf modules for the DiT and conditioning stacks.
+
+These are the building blocks scanned over in `dit.py`.  Semantics mirror
+diffusers' CogVideoX modules as instantiated by the reference
+(`models/transformer.py:143-262, 378-427`), re-expressed for TPU/XLA:
+LayerNorm statistics in fp32, attention via the shared `ops.attention`
+dispatcher, patchify as reshape+matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention, sdpa
+from ..ops.rope import apply_rotary_emb
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of activation dtype."""
+    eps: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        d = x.shape[-1]
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones, (d,), self.param_dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (d,), self.param_dtype)
+        return y.astype(dtype)
+
+
+class LayerNormZero(nn.Module):
+    """CogVideoXLayerNormZero: adaLN producing (video, text) shift/scale/gate.
+
+    Returns (norm_video, norm_text, gate_video, gate_text).
+    """
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder_hidden, temb):
+        mod = nn.Dense(6 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="linear")(nn.silu(temb))
+        shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(mod, 6, axis=-1)
+        norm = LayerNorm(eps=self.eps, param_dtype=self.param_dtype, name="norm")
+        h = norm(hidden) * (1 + scale[:, None]) + shift[:, None]
+        e = norm(encoder_hidden) * (1 + e_scale[:, None]) + e_shift[:, None]
+        return h.astype(self.dtype), e.astype(self.dtype), gate[:, None], e_gate[:, None]
+
+
+class AdaLayerNorm(nn.Module):
+    """Final adaLN (diffusers AdaLayerNorm, chunk_dim=1: shift then scale)."""
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        mod = nn.Dense(2 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="linear")(nn.silu(temb))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        y = LayerNorm(eps=self.eps, param_dtype=self.param_dtype, name="norm")(x)
+        return (y * (1 + scale[:, None]) + shift[:, None]).astype(self.dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear-SiLU-Linear over sinusoidal features (diffusers semantics)."""
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_freq):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_1")(t_freq)
+        x = nn.silu(x)
+        return nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="linear_2")(x)
+
+
+class FeedForward(nn.Module):
+    """gelu-approximate MLP (diffusers FeedForward, biases on)."""
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="net_0")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="net_2")(h)
+
+
+class JointSelfAttention(nn.Module):
+    """CogVideoX joint text+video self-attention.
+
+    QKV over the concatenated [text, video] sequence, per-head QK LayerNorm
+    (eps 1e-6), RoPE applied to the video positions only, out projection.
+    Mirrors `CogVideoXAttnProcessor2_0` as wired at
+    reference `models/transformer.py:200-208`.
+    """
+    heads: int
+    head_dim: int
+    qk_norm: bool = True
+    bias: bool = True
+    out_bias: bool = True
+    use_flash: bool = True
+    lora_rank: int = 0       # LoRA on to_q/to_k (reference trains r=128 there)
+    lora_alpha: float = 128.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder_hidden, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
+        text_len = encoder_hidden.shape[1]
+        x = jnp.concatenate([encoder_hidden, hidden], axis=1)  # [B, L+S, D]
+        b, s, _ = x.shape
+        inner = self.heads * self.head_dim
+
+        dense = lambda name: nn.Dense(inner, use_bias=self.bias, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+
+        def with_lora(name, base):
+            """base + (x @ A) @ B * alpha/r — LoRA the peft way (B zero-init)."""
+            if self.lora_rank <= 0:
+                return base
+            a = self.param(f"{name}_lora_A", nn.initializers.he_uniform(),
+                           (x.shape[-1], self.lora_rank), self.param_dtype)
+            bb = self.param(f"{name}_lora_B", nn.initializers.zeros,
+                            (self.lora_rank, inner), self.param_dtype)
+            scaling = self.lora_alpha / self.lora_rank
+            delta = (x @ a.astype(x.dtype)) @ bb.astype(x.dtype) * scaling
+            return base + delta
+
+        q = with_lora("to_q", dense("to_q")(x)).reshape(b, s, self.heads, self.head_dim)
+        k = with_lora("to_k", dense("to_k")(x)).reshape(b, s, self.heads, self.head_dim)
+        v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
+
+        if self.qk_norm:
+            q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
+            k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
+
+        q = q.transpose(0, 2, 1, 3)  # [B, H, S, Dh]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        if rope is not None:
+            cos, sin = rope
+            q = jnp.concatenate(
+                [q[:, :, :text_len], apply_rotary_emb(q[:, :, text_len:], cos, sin)], axis=2)
+            k = jnp.concatenate(
+                [k[:, :, :text_len], apply_rotary_emb(k[:, :, text_len:], cos, sin)], axis=2)
+
+        o = attention(q, k, v, use_flash=self.use_flash)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_out")(o)
+        return o[:, text_len:], o[:, :text_len]
+
+
+class CogVideoXBlock(nn.Module):
+    """One DiT block (reference `models/transformer.py:143-262`)."""
+    dim: int
+    heads: int
+    head_dim: int
+    time_embed_dim: int
+    eps: float = 1e-5
+    ff_mult: int = 4
+    qk_norm: bool = True
+    attention_bias: bool = True
+    use_flash: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 128.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder_hidden, temb, rope):
+        text_len = encoder_hidden.shape[1]
+        norm1 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="norm1")
+        nh, ne, gate, e_gate = norm1(hidden, encoder_hidden, temb)
+        attn_h, attn_e = JointSelfAttention(
+            heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
+            bias=self.attention_bias, use_flash=self.use_flash,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1")(nh, ne, rope)
+        hidden = hidden + (gate * attn_h).astype(hidden.dtype)
+        encoder_hidden = encoder_hidden + (e_gate * attn_e).astype(hidden.dtype)
+
+        norm2 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="norm2")
+        nh, ne, gate_ff, e_gate_ff = norm2(hidden, encoder_hidden, temb)
+        ff = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ff")
+        ff_out = ff(jnp.concatenate([ne, nh], axis=1))
+        hidden = hidden + (gate_ff * ff_out[:, text_len:]).astype(hidden.dtype)
+        encoder_hidden = encoder_hidden + (e_gate_ff * ff_out[:, :text_len]).astype(hidden.dtype)
+        return hidden, encoder_hidden
+
+
+class PatchEmbed(nn.Module):
+    """CogVideoXPatchEmbed: patchified-latent proj + text proj, concatenated.
+
+    Input latents arrive already patchified ([B, S_vid, C*p*p], see
+    `ops.patch.patchify`), so the 2x2 conv becomes one MXU matmul.
+    """
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_embeds, patch_tokens):
+        t = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="text_proj")(text_embeds)
+        x = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="proj")(patch_tokens)
+        return jnp.concatenate([t, x], axis=1)

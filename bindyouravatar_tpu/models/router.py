@@ -1,0 +1,257 @@
+"""Face-injection cross-attention + the dynamic 3D-mask embedding router.
+
+`PerceiverCrossAttention` mirrors reference `models/router.py:196-275`
+(Q from video tokens, KV from LFE face tokens, detached Q/K handed to the
+router).  `MultiIPRouter` mirrors `models/router.py:280-423` but is
+shape-polymorphic over the (T, H, W) latent grid and batched over the real
+batch axis instead of the reference's per-sample python loop
+(`transformer.py:779-831`).
+
+Canonical grid note: the reference hard-codes `frames=13, height=45,
+width=30` (`router.py:313-315`) while the true latent grid is (13, 30, 45);
+both flatten to the same 17,550 tokens so the model is self-consistent.  We
+use the canonical (T, H=30, W=45) layout; the flat token order is identical,
+so checkpoints interop (the sinusoidal pos-emb frequency assignment differs
+— documented divergence, immaterial for from-scratch training).
+
+Gradient contract (SURVEY.md §7 "hard parts"): q/k fed to the router are
+`stop_gradient`-ed, so router losses do NOT backprop into the perceiver;
+the router's own projections and trunk do get gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RouterConfig
+from .layers import LayerNorm
+
+
+class PerceiverCrossAttention(nn.Module):
+    """Face feature injection attention.
+
+    Inputs: face tokens [B, I, n_tok, kv_dim], video tokens [B, S, dim].
+    Returns (id_feat [B, I, S, dim], q [B, H, S, dh] (detached),
+    k [B, I, H, n_tok, dh] (detached)).
+    """
+    dim: int = 3072
+    dim_head: int = 128
+    heads: int = 16
+    kv_dim: int = 2048
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, face_tokens, video_tokens):
+        b, n_id, n_tok, _ = face_tokens.shape
+        s = video_tokens.shape[1]
+        inner = self.dim_head * self.heads
+
+        x = LayerNorm(param_dtype=self.param_dtype, name="norm1")(face_tokens)
+        lat = LayerNorm(param_dtype=self.param_dtype, name="norm2")(video_tokens)
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(lat)
+        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="to_kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)  # [B,H,S,dh]
+        k = k.reshape(b, n_id, n_tok, self.heads, self.dim_head).transpose(0, 1, 3, 2, 4)
+        v = v.reshape(b, n_id, n_tok, self.heads, self.dim_head).transpose(0, 1, 3, 2, 4)
+
+        scores = jnp.einsum("bhsd,bihkd->bihsk", q, k,
+                            preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
+        p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bihsk,bihkd->bihsd", p, v)
+        o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_id, s, inner)
+        o = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_out")(o)
+        return o, jax.lax.stop_gradient(q), jax.lax.stop_gradient(k)
+
+
+class SelfAttention(nn.Module):
+    """Plain MHA (diffusers `Attention` with bias, as used by STAB)."""
+    dim: int
+    heads: int = 8
+    bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _ = x.shape
+        dh = self.dim // self.heads
+        dense = lambda name, d=self.dim: nn.Dense(
+            d, use_bias=self.bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense("to_q")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
+        k = dense("to_k")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
+        v = dense("to_v")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+        p = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_out")(o)
+
+
+class SpatialTemporalAttentionBlock(nn.Module):
+    """Three factored self-attentions (spatial / temporal / multi-ID) + MLP.
+
+    Mirrors reference `models/router.py:425-493`, with the real batch axis
+    folded into each attention's batch.
+    """
+    dim: int
+    heads: int = 8
+    mlp_ratio: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, I, T, H, W, C]
+        b, i, t, h, w, c = x.shape
+        spatial = SelfAttention(self.dim, self.heads, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="spatial_attn")
+        temporal = SelfAttention(self.dim, self.heads, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="temporal_attn")
+        multi_id = SelfAttention(self.dim, self.heads, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="multi_id_attn")
+
+        xs = x.reshape(b * i * t, h * w, c)
+        xs = LayerNorm(param_dtype=self.param_dtype, name="norm1")(xs)
+        x = x + spatial(xs).reshape(b, i, t, h, w, c)
+
+        xt = x.transpose(0, 1, 3, 4, 2, 5).reshape(b * i * h * w, t, c)
+        xt = LayerNorm(param_dtype=self.param_dtype, name="norm2")(xt)
+        x = x + temporal(xt).reshape(b, i, h, w, t, c).transpose(0, 1, 4, 2, 3, 5)
+
+        xi = x.transpose(0, 2, 3, 4, 1, 5).reshape(b * t * h * w, i, c)
+        xi = LayerNorm(param_dtype=self.param_dtype, name="norm3")(xi)
+        x = x + multi_id(xi).reshape(b, t, h, w, i, c).transpose(0, 4, 1, 2, 3, 5)
+
+        y = LayerNorm(param_dtype=self.param_dtype, name="norm4")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+@functools.lru_cache(maxsize=16)
+def _router_pos_emb(t: int, h: int, w: int, feat_dim: int) -> np.ndarray:
+    """Additive 3D sincos pos-emb, flat [T*H*W, feat_dim]
+    (reference `router.py:334-362`, made grid-polymorphic)."""
+    third = feat_dim // 3
+
+    def axis_emb(n):
+        pos = np.arange(n, dtype=np.float64)[:, None]
+        div = np.power(10000.0, np.arange(0, third, 2, dtype=np.float64) / third)
+        ang = pos / div
+        return np.stack([np.sin(ang), np.cos(ang)], axis=-1).reshape(n, -1)
+
+    te, he, we = axis_emb(t), axis_emb(h), axis_emb(w)
+    full = np.zeros((t, h, w, feat_dim), dtype=np.float32)
+    d = te.shape[-1]
+    full[..., :d] = te[:, None, None, :]
+    full[..., d:2 * d] = he[None, :, None, :]
+    full[..., 2 * d:3 * d] = we[None, None, :, :]
+    return full.reshape(t * h * w, feat_dim)
+
+
+class MultiIPRouterLayerProj(nn.Module):
+    """Per-DiT-layer router projections (reference to_q[i]/to_k[i]).
+
+    Kept separate so the per-layer params stack along the scan axis while
+    the trunk (`MultiIPRouterTrunk`) is shared.
+    """
+    q_k_dim: int = 2048
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_flat, k_flat):
+        to_q = nn.Dense(self.q_k_dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_q")
+        to_k = nn.Dense(self.q_k_dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_k")
+        return to_q(q_flat), to_k(k_flat)
+
+
+class MultiIPRouterTrunk(nn.Module):
+    """Shared router trunk: norms, re-attention, pos-emb, 4 STABs, head.
+
+    forward(q [B,H,S,dh], k [B,I,H,n_tok,dh], layer projections applied via
+    `layer_proj` module call outside) -> routing [B, S, I] in [0,1].
+    """
+    cfg: RouterConfig = RouterConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_proj, k_proj, grid: Tuple[int, int, int]):
+        """q_proj: [B, S, q_k_dim] (already layer-projected & pre-normed),
+        k_proj: [B, I, n_tok, q_k_dim]."""
+        c = self.cfg
+        t, h, w = grid
+        b, s, _ = q_proj.shape
+        n_id, n_tok = k_proj.shape[1], k_proj.shape[2]
+        dh = c.q_k_dim // c.num_heads
+
+        q = q_proj.reshape(b, s, c.num_heads, dh).transpose(0, 2, 1, 3)
+        k = k_proj.reshape(b, n_id, n_tok, c.num_heads, dh).transpose(0, 1, 3, 2, 4)
+
+        # re-attention features: [B, I, S, n_tok*heads]
+        feat = jnp.einsum("bhsd,bihkd->bihsk", q, k,
+                          preferred_element_type=jnp.float32)
+        feat = feat.transpose(0, 1, 3, 4, 2).reshape(b, n_id, s, n_tok * c.num_heads)
+        feat = feat.astype(self.dtype)
+        feat = LayerNorm(param_dtype=self.param_dtype, name="norm")(feat)
+
+        pos = jnp.asarray(_router_pos_emb(t, h, w, c.feat_dim))
+        feat = feat + pos.astype(feat.dtype)[None, None]
+        feat = feat.reshape(b, n_id, t, h, w, c.feat_dim)
+
+        for li in range(c.num_attention_layers):
+            feat = SpatialTemporalAttentionBlock(
+                dim=c.feat_dim, heads=c.attn_heads, mlp_ratio=c.mlp_ratio,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"st_{li}")(feat)
+
+        feat = feat.reshape(b, n_id, s, c.feat_dim)
+        logit = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="final_proj")(feat)          # [B, I, S, 1]
+        routing = jax.nn.sigmoid(logit.astype(jnp.float32))[..., 0]  # [B, I, S]
+        return routing.transpose(0, 2, 1)                   # [B, S, I]
+
+
+class RouterNorms(nn.Module):
+    """Shared input norms applied before the per-layer projections
+    (reference `router.py:380-383`: norm_q/norm_k are shared)."""
+    q_k_dim: int = 2048
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_flat, k_flat):
+        q = LayerNorm(param_dtype=self.param_dtype, name="norm_q")(q_flat)
+        k = LayerNorm(param_dtype=self.param_dtype, name="norm_k")(k_flat)
+        return q, k
+
+
+def fold_heads_to_flat(q: jnp.ndarray, k: jnp.ndarray):
+    """[B,H,S,dh]/[B,I,H,n,dh] -> flat [B,S,H*dh]/[B,I,n,H*dh]
+    (reference permute(0,2,3,1).reshape, `router.py:375-378`)."""
+    b, hh, s, dh = q.shape
+    q_flat = q.transpose(0, 2, 3, 1).reshape(b, s, dh * hh)
+    bi, n_id, hh2, n, dh2 = k.shape
+    k_flat = k.transpose(0, 1, 3, 4, 2).reshape(bi, n_id, n, dh2 * hh2)
+    return q_flat, k_flat

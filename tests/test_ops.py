@@ -1,0 +1,218 @@
+"""Unit tests for the ops layer: RoPE, patchify, scheduler, attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.config import SchedulerConfig
+from bindyouravatar_tpu.ops.attention import sdpa
+from bindyouravatar_tpu.ops.flash_attention import flash_attention, _fwd_impl, _chunked_bwd
+from bindyouravatar_tpu.ops.patch import patchify, unpatchify
+from bindyouravatar_tpu.ops.rope import (apply_rotary_emb, get_3d_rotary_pos_embed,
+                                         get_resize_crop_region_for_grid,
+                                         timestep_embedding)
+from bindyouravatar_tpu.ops.scheduler import Schedule
+
+
+# --------------------------------------------------------------------- rope
+def test_crop_region_identity_for_base_grid():
+    assert get_resize_crop_region_for_grid((30, 45), 45, 30) == ((0, 0), (30, 45))
+
+
+def test_rope_tables_shape_and_range():
+    cos, sin = get_3d_rotary_pos_embed(64, ((0, 0), (30, 45)), (30, 45), 13)
+    assert cos.shape == (13 * 30 * 45, 64)
+    assert sin.shape == cos.shape
+    np.testing.assert_allclose(np.asarray(cos) ** 2 + np.asarray(sin) ** 2, 1.0,
+                               atol=1e-5)
+    # halves duplicated (rotate-half layout)
+    np.testing.assert_allclose(cos[:, :32], cos[:, 32:], atol=0)
+
+
+def test_rope_apply_preserves_norm_and_relative_phase():
+    cos, sin = get_3d_rotary_pos_embed(16, ((0, 0), (4, 4)), (4, 4), 2)
+    x = jax.random.normal(jax.random.key(0), (1, 2, 32, 16))
+    y = apply_rotary_emb(x, cos, sin)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                               np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+    # dot products between equal positions unchanged
+    q = jax.random.normal(jax.random.key(1), (1, 1, 32, 16))
+    k = jax.random.normal(jax.random.key(2), (1, 1, 32, 16))
+    qr, kr = apply_rotary_emb(q, cos, sin), apply_rotary_emb(k, cos, sin)
+    same_pos = jnp.einsum("bhsd,bhsd->bhs", qr, kr)
+    ref = jnp.einsum("bhsd,bhsd->bhs", q, k)
+    np.testing.assert_allclose(np.asarray(same_pos), np.asarray(ref), atol=1e-4)
+
+
+def test_rope_matches_interleaved_reference():
+    """Rotate-half apply == torch-style interleaved apply after the channel
+    permutation the checkpoint converter performs."""
+    d = 8
+    pos = np.arange(5, dtype=np.float64)
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    ang = np.outer(pos, inv)  # [5, 4]
+
+    x = np.random.RandomState(0).randn(5, d).astype(np.float32)
+    # interleaved reference (diffusers use_real_unbind_dim=-1 with
+    # repeat_interleave'd cos/sin)
+    cos_i = np.repeat(np.cos(ang), 2, axis=1)
+    sin_i = np.repeat(np.sin(ang), 2, axis=1)
+    xr = x.reshape(5, d // 2, 2)
+    rot = np.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(5, d)
+    ref = x * cos_i + rot * sin_i
+
+    # our rotate-half with permuted channels: perm maps interleaved -> halves
+    perm = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    cos_h = np.concatenate([np.cos(ang), np.cos(ang)], axis=1)
+    sin_h = np.concatenate([np.sin(ang), np.sin(ang)], axis=1)
+    y = apply_rotary_emb(jnp.asarray(x[:, perm])[None, None],
+                         jnp.asarray(cos_h), jnp.asarray(sin_h))[0, 0]
+    np.testing.assert_allclose(np.asarray(y), ref[:, perm], atol=1e-5)
+
+
+def test_timestep_embedding():
+    emb = timestep_embedding(jnp.array([0.0, 999.0]), 64)
+    assert emb.shape == (2, 64)
+    # t=0: sin part zero, cos part one; flip_sin_to_cos puts cos first
+    np.testing.assert_allclose(np.asarray(emb[0, :32]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 32:]), 0.0, atol=1e-6)
+
+
+# ------------------------------------------------------------------- patch
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (2, 3, 4, 8, 12))
+    tok = patchify(x, 2)
+    assert tok.shape == (2, 3 * 4 * 6, 4 * 4)
+    y = unpatchify(tok, (3, 4, 6), 4, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=0)
+
+
+def test_patchify_matches_conv_semantics():
+    """Feature ordering must equal Conv2d(k=p,s=p) + flatten: c*p*p + dy*p + dx."""
+    b, t, c, h, w, p = 1, 1, 2, 4, 4, 2
+    x = jnp.arange(b * t * c * h * w, dtype=jnp.float32).reshape(b, t, c, h, w)
+    tok = patchify(x, p)
+    # token 0 = patch at (0,0); feature index c_*4 + dy*2 + dx
+    expect = [x[0, 0, ci, dy, dx] for ci in range(c) for dy in range(p) for dx in range(p)]
+    np.testing.assert_allclose(np.asarray(tok[0, 0]), np.asarray(jnp.stack(expect)))
+
+
+# --------------------------------------------------------------- scheduler
+def test_schedule_tables():
+    s = Schedule.create(SchedulerConfig())
+    ac = np.asarray(s.alphas_cumprod)
+    assert ac.shape == (1000,)
+    assert np.all(np.diff(ac) < 0)          # strictly decreasing
+    assert abs(ac[-1]) < 1e-10              # zero terminal SNR
+    assert 0.99 < ac[0] < 1.0
+
+
+def test_timesteps_trailing():
+    s = Schedule.create(SchedulerConfig())
+    ts = s.timesteps(50)
+    assert len(ts) == 50 and ts[0] == 999 and ts[-1] == 19
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_add_noise_get_velocity_consistency():
+    """x0 recovered from (noisy, v) must equal the original sample."""
+    s = Schedule.create(SchedulerConfig())
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (2, 3, 4))
+    noise = jax.random.normal(jax.random.key(1), (2, 3, 4))
+    t = jnp.array([100, 500])
+    noisy = s.add_noise(x0, noise, t)
+    v = s.get_velocity(noise, x0, t)
+    a = np.asarray(s.alphas_cumprod)[np.asarray(t)].reshape(2, 1, 1)
+    x0_rec = np.sqrt(a) * np.asarray(noisy) - np.sqrt(1 - a) * np.asarray(v)
+    np.testing.assert_allclose(x0_rec, np.asarray(x0), atol=1e-5)
+
+
+def test_ddim_step_terminal_recovers_x0():
+    """Stepping to prev_t=-1 (alpha=1) must return pred_x0 exactly."""
+    s = Schedule.create(SchedulerConfig())
+    x0 = jax.random.normal(jax.random.key(0), (1, 4))
+    noise = jax.random.normal(jax.random.key(1), (1, 4))
+    t = jnp.array(19)
+    noisy = s.add_noise(x0, noise, t)
+    v = s.get_velocity(noise, x0, t)
+    out = s.ddim_step(v, t, jnp.array(-1), noisy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_dpm_step_first_and_second_order():
+    s = Schedule.create(SchedulerConfig())
+    x = jax.random.normal(jax.random.key(0), (1, 8))
+    v = jax.random.normal(jax.random.key(1), (1, 8)) * 0.1
+    out1, x0 = s.dpm_step(v, None, jnp.array(999), None, jnp.array(979), x)
+    assert out1.shape == x.shape and x0.shape == x.shape
+    out2, x0b = s.dpm_step(v, x0, jnp.array(979), jnp.array(999), jnp.array(959), out1)
+    assert np.all(np.isfinite(np.asarray(out2)))
+    # second-order with identical old_pred == x0 collapses to first order
+    out_fo, _ = s.dpm_step(v, None, jnp.array(979), None, jnp.array(959), out1)
+    out_so, _ = s.dpm_step(v, x0b, jnp.array(979), jnp.array(999), jnp.array(959), out1)
+    d_self = np.abs(np.asarray(out_so) - np.asarray(out_fo)).max()
+    assert np.isfinite(d_self)
+
+
+# --------------------------------------------------------------- attention
+def test_sdpa_matches_naive():
+    q = jax.random.normal(jax.random.key(0), (1, 2, 16, 8))
+    k = jax.random.normal(jax.random.key(1), (1, 2, 16, 8))
+    v = jax.random.normal(jax.random.key(2), (1, 2, 16, 8))
+    out = sdpa(q, k, v)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_sdpa():
+    """Pallas kernel (interpret mode on CPU) vs the XLA reference."""
+    q = jax.random.normal(jax.random.key(0), (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64), jnp.float32)
+    out = _fwd_impl(q, k, v, 64 ** -0.5, 256, block_q=128, block_k=128,
+                    interpret=True)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_padding_mask():
+    """kv_len < padded S: padded keys must not contribute."""
+    s_valid = 200
+    q = jax.random.normal(jax.random.key(0), (1, 1, 256, 64), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 1, 256, 64), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 1, 256, 64), jnp.float32)
+    out = _fwd_impl(q, k, v, 64 ** -0.5, s_valid, block_q=128, block_k=128,
+                    interpret=True)
+    ref = sdpa(q[:, :, :s_valid], k[:, :, :s_valid], v[:, :, :s_valid])
+    np.testing.assert_allclose(np.asarray(out[:, :, :s_valid]), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_attention_backward_matches_sdpa_grad():
+    q = jax.random.normal(jax.random.key(0), (1, 2, 128, 32), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 2, 128, 32), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 2, 128, 32), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) ** 2)
+
+    o = sdpa(q, k, v)
+    do = 2 * o
+    dq, dk, dv = _chunked_bwd(q, k, v, o, do, 32 ** -0.5, 128, block_q=64)
+    gq, gk, gv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), atol=1e-4)
+
+
+def test_flash_attention_cpu_dispatch():
+    """On CPU backend flash_attention transparently falls back to XLA."""
+    q = jax.random.normal(jax.random.key(0), (1, 1, 2048, 64), jnp.float32)
+    out = flash_attention(q, q, q)
+    ref = sdpa(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
