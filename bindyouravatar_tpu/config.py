@@ -298,8 +298,9 @@ def _lcm(a: int, b: int) -> int:
 def tiny_dit_config(**overrides) -> DiTConfig:
     """A tiny DiT for fast tests: 2 groups of layers, 8x12 latent grid."""
     base = dict(
-        num_attention_heads=4,
+        num_attention_heads=6,   # inner 96: divisible by 3 (LFE dim contract)
         attention_head_dim=16,
+        lfe_num_tokens=8,
         in_channels=8,
         out_channels=4,
         time_embed_dim=32,

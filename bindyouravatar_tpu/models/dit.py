@@ -64,8 +64,11 @@ class DiT:
                audio_cfg: Optional[AudioConfig] = None,
                lfe_cfg: Optional[LFEConfig] = None) -> "DiT":
         if router_cfg is None:
+            # contract: q_k_dim == perceiver heads*dim_head == LFE output dim;
+            # num_id_token == the perceiver's kv token count (LFE queries)
             router_cfg = RouterConfig(num_layers=cfg.num_ca,
-                                      q_k_dim=cfg.lfe_final_output_dim)
+                                      q_k_dim=cfg.lfe_final_output_dim,
+                                      num_id_token=cfg.lfe_num_tokens)
         if audio_cfg is None:
             audio_cfg = AudioConfig(
                 dim=cfg.inner_dim,
@@ -76,6 +79,26 @@ class DiT:
         if lfe_cfg is None:
             lfe_cfg = LFEConfig(num_queries=cfg.lfe_num_tokens,
                                 output_dim=cfg.lfe_final_output_dim)
+        return cls(cfg, router_cfg, audio_cfg, lfe_cfg)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "DiT":
+        """Small end-to-end-testable DiT (SURVEY.md §4 test plan)."""
+        from ..config import tiny_dit_config
+        cfg = tiny_dit_config(**overrides)
+        router_cfg = RouterConfig(
+            num_layers=cfg.num_ca, q_k_dim=cfg.lfe_final_output_dim,
+            num_id_token=cfg.lfe_num_tokens, num_heads=4, attn_heads=4,
+            num_attention_layers=2)
+        audio_cfg = AudioConfig(
+            dim=cfg.inner_dim, audio_dim=16, blocks=2, intermediate_dim=16,
+            context_tokens=4, num_attention_heads=cfg.num_attention_heads,
+            attention_head_dim=cfg.attention_head_dim,
+            num_layers=cfg.num_layers // cfg.audio_attn_interval)
+        lfe_cfg = LFEConfig(
+            dim=32, depth=5, dim_head=8, heads=4, num_id_token=2,
+            num_queries=cfg.lfe_num_tokens, output_dim=cfg.lfe_final_output_dim,
+            id_embed_dim=24, vit_dim=16)
         return cls(cfg, router_cfg, audio_cfg, lfe_cfg)
 
     # ------------------------------------------------------------------ #
@@ -98,7 +121,9 @@ class DiT:
             proj_out=nn.Dense(c.patch_size * c.patch_size * c.out_channels, **kw),
             lfe=LocalFacialExtractor(self.lfe_cfg, **kw),
             perceiver=PerceiverCrossAttention(
-                dim=c.inner_dim, dim_head=128, heads=16,
+                dim=c.inner_dim,
+                dim_head=self.router_cfg.q_k_dim // self.router_cfg.num_heads,
+                heads=self.router_cfg.num_heads,
                 kv_dim=c.lfe_final_output_dim, **kw),
             router_norms=RouterNorms(q_k_dim=self.router_cfg.q_k_dim,
                                      param_dtype=c.param_dtype),

@@ -106,7 +106,7 @@ class LocalFacialExtractor(nn.Module):
             "proj_out", nn.initializers.normal(stddev=scale), (c.dim, c.output_dim),
             self.param_dtype)
 
-        id_tokens = _MappingMLP(1024, c.dim * c.num_id_token, dtype=self.dtype,
+        id_tokens = _MappingMLP(c.dim, c.dim * c.num_id_token, dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name="id_embedding_mapping")(id_embed)
         id_tokens = id_tokens.reshape(n, c.num_id_token, c.dim)
@@ -117,7 +117,7 @@ class LocalFacialExtractor(nn.Module):
         depth_per_scale = c.depth // c.num_scales
         layer_idx = 0
         for i in range(c.num_scales):
-            vit_feat = _MappingMLP(1024, c.dim, dtype=self.dtype,
+            vit_feat = _MappingMLP(c.dim, c.dim, dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"mapping_{i}")(vit_hidden[:, i])
             ctx = jnp.concatenate([id_tokens, vit_feat], axis=1)

@@ -1,0 +1,156 @@
+"""DiT core tests on the tiny config (2 scan groups, 3x8x12 latent grid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.config import tiny_dit_config
+from bindyouravatar_tpu.models.dit import DiT
+
+
+@pytest.fixture(scope="module")
+def dit():
+    return DiT.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(dit):
+    return dit.init(jax.random.key(0))
+
+
+def _inputs(dit, b=2, seed=1):
+    c = dit.cfg
+    t, hg, wg = c.latent_grid
+    ks = jax.random.split(jax.random.key(seed), 8)
+    latents = jax.random.normal(ks[0], (b, t, c.in_channels, c.sample_height, c.sample_width))
+    text = jax.random.normal(ks[1], (b, c.max_text_seq_length, c.text_embed_dim))
+    tsteps = jnp.array([100.0] * b)
+    rope = dit.rope(c.sample_height * 8, c.sample_width * 8, t)
+    id_cond = jax.random.normal(ks[2], (b, c.num_ids, dit.lfe_cfg.id_embed_dim))
+    vit = jax.random.normal(
+        ks[3], (b, c.num_ids, dit.lfe_cfg.num_scales, 17, dit.lfe_cfg.vit_dim))
+    a = dit.audio_cfg
+    n_audio_frames = c.sample_frames + a.window_size - a.window_stride
+    audio = jax.random.normal(ks[4], (b, 2, n_audio_frames, a.blocks, a.audio_dim))
+    af = jnp.eye(c.num_ids)[None].repeat(b, 0)
+    return dict(latents=latents, text_embeds=text, timesteps=tsteps, rope=rope,
+                id_cond=id_cond, id_vit_hidden=vit, audio_embeds=audio, af_matrix=af)
+
+
+def test_forward_shapes(dit, params):
+    c = dit.cfg
+    inp = _inputs(dit)
+    out, routing = dit.apply(params, inp["latents"], inp["text_embeds"],
+                             inp["timesteps"], inp["rope"],
+                             id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"],
+                             audio_embeds=inp["audio_embeds"], af_matrix=inp["af_matrix"])
+    t, hg, wg = c.latent_grid
+    assert out.shape == (2, t, c.out_channels, c.sample_height, c.sample_width)
+    assert routing.shape == (c.num_ca, 2, t * hg * wg, c.num_ids)
+    assert np.all(np.isfinite(np.asarray(out)))
+    r = np.asarray(routing)
+    assert r.min() >= 0.0 and r.max() <= 1.0  # sigmoid output
+
+
+def test_forward_no_conditioning(dit, params):
+    """Face/audio paths off at call time -> plain CogVideoX denoiser step."""
+    inp = _inputs(dit)
+    out, routing = dit.apply(params, inp["latents"], inp["text_embeds"],
+                             inp["timesteps"], inp["rope"])
+    assert routing is None
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_forward_deterministic(dit, params):
+    inp = _inputs(dit)
+    kw = dict(id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"],
+              audio_embeds=inp["audio_embeds"], af_matrix=inp["af_matrix"])
+    o1, _ = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                      inp["rope"], **kw)
+    o2, _ = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                      inp["rope"], **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_routing_override_changes_output(dit, params):
+    """Teacher-forced routing must change the injected features."""
+    c = dit.cfg
+    inp = _inputs(dit)
+    s = c.video_seq_len
+    kw = dict(id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"],
+              audio_embeds=inp["audio_embeds"], af_matrix=inp["af_matrix"])
+    o1, _ = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                      inp["rope"], **kw)
+    override = jnp.zeros((2, s, c.num_ids))
+    o2, r2 = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                       inp["rope"], routing_override=override, **kw)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
+    # router predictions still produced under override
+    assert r2 is not None and np.all(np.isfinite(np.asarray(r2)))
+
+
+def test_router_stop_gradient_contract(dit, params):
+    """Routing-loss gradients must reach router params but NOT the perceiver
+    (reference detaches q/k at `router.py:260-266`)."""
+    inp = _inputs(dit)
+
+    def loss_fn(p):
+        _, routing = dit.apply(p, inp["latents"], inp["text_embeds"],
+                               inp["timesteps"], inp["rope"],
+                               id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"])
+        return jnp.sum(routing ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    router_gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(
+        {"t": g["router_trunk"], "l": g["router_layers"], "n": g["router_norms"]}))
+    perceiver_gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["perceiver"]))
+    lfe_gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["lfe"]))
+    assert router_gnorm > 0.0
+    assert perceiver_gnorm == 0.0
+    assert lfe_gnorm == 0.0
+
+
+def test_diffusion_gradient_reaches_everything(dit, params):
+    """The denoising loss must flow into blocks, perceiver, LFE and audio."""
+    inp = _inputs(dit)
+
+    def loss_fn(p):
+        out, _ = dit.apply(p, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                           inp["rope"], id_cond=inp["id_cond"],
+                           id_vit_hidden=inp["id_vit_hidden"],
+                           audio_embeds=inp["audio_embeds"], af_matrix=inp["af_matrix"])
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    for name in ["blocks", "perceiver", "lfe", "audio_layers", "audio_statics"]:
+        gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g[name]))
+        assert gn > 0.0, f"no gradient in {name}"
+
+
+def test_single_track_audio_mute_path(dit, params):
+    """1 audio track + mute fixture -> second identity gets the mute track."""
+    c = dit.cfg
+    a = dit.audio_cfg
+    inp = _inputs(dit)
+    n_audio_frames = c.sample_frames + a.window_size - a.window_stride
+    audio1 = inp["audio_embeds"][:, :1]
+    mute = jnp.zeros((n_audio_frames, a.blocks, a.audio_dim))
+    out, _ = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                       inp["rope"], id_cond=inp["id_cond"],
+                       id_vit_hidden=inp["id_vit_hidden"],
+                       audio_embeds=audio1, mute_embeds=mute, af_matrix=inp["af_matrix"])
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_remat_matches(dit, params):
+    """jax.checkpoint on the scan body must not change numerics."""
+    import dataclasses
+    inp = _inputs(dit)
+    dit_r = dataclasses.replace(dit, cfg=dataclasses.replace(dit.cfg, remat=True))
+    kw = dict(id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"])
+    o1, _ = dit.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                      inp["rope"], **kw)
+    o2, _ = dit_r.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
+                        inp["rope"], **kw)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
