@@ -1,0 +1,276 @@
+"""Causal 3D VAE (CogVideoX `AutoencoderKLCogVideoX` semantics) in JAX.
+
+The reference consumes this VAE through diffusers for encode (conditioning
+image + training videos, `pipeline_bindyouravatar.py:376-458`,
+`train.py:1081-1093`) and decode (`decode_latents`, `:460-466`).  Re-derived
+here TPU-first: channels-last NDHWC layout (XLA conv-friendly), fp32 group
+norms, causal temporal padding by first-frame replication, avg-pool temporal
+downsample with odd-first-frame passthrough, nearest temporal/spatial
+upsampling with the 2t-1 first-frame special case.
+
+Public tensors follow the reference layout: video [B, T, 3, H, W],
+latents [B, T', C_lat, H/8, W/8]; scaling_factor 1.15258426.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import VAEConfig
+
+
+class CausalConv3d(nn.Module):
+    """3D conv, temporally causal: front-pad (kt-1) replicated first frames."""
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        if kt > 1:
+            front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            x = jnp.concatenate([front, x], axis=1)
+        ph, pw = kh // 2, kw // 2
+        return nn.Conv(self.features, self.kernel, strides=self.stride,
+                       padding=[(0, 0), (ph, ph), (pw, pw)],
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class GroupNorm(nn.Module):
+    groups: int = 32
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=jnp.float32, param_dtype=self.param_dtype,
+                         name="gn")(x.astype(jnp.float32))
+        return y.astype(dt)
+
+
+class SpatialNorm3D(nn.Module):
+    """Decoder norm modulated by the latent zq (CogVideoXSpatialNorm3D)."""
+    features: int
+    zq_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq):
+        # upsample zq (nearest) to x's T/H/W
+        bt, t, h, w, _ = x.shape
+        zt = zq.shape[1]
+        if zt != t:
+            # causal temporal nearest: first frame once, others repeated
+            rep = (t - 1) // max(zt - 1, 1) if zt > 1 else t
+            if zt > 1:
+                first, rest = zq[:, :1], zq[:, 1:]
+                rest = jnp.repeat(rest, rep, axis=1)
+                zq = jnp.concatenate([first, rest], axis=1)[:, :t]
+            else:
+                zq = jnp.repeat(zq, t, axis=1)
+        if zq.shape[2] != h:
+            fh, fw = h // zq.shape[2], w // zq.shape[3]
+            zq = jnp.repeat(jnp.repeat(zq, fh, axis=2), fw, axis=3)
+        norm = GroupNorm(self.groups, param_dtype=self.param_dtype, name="norm_layer")(x)
+        scale = CausalConv3d(self.features, (1, 1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv_y")(zq)
+        shift = CausalConv3d(self.features, (1, 1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv_b")(zq)
+        return norm * scale + shift
+
+
+class ResnetBlock3D(nn.Module):
+    out_features: int
+    zq_channels: Optional[int] = None   # set => decoder spatial norm
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        in_features = x.shape[-1]
+
+        def norm(name):
+            if self.zq_channels is None:
+                return lambda h: GroupNorm(self.groups, param_dtype=self.param_dtype,
+                                           name=name)(h)
+            return lambda h: SpatialNorm3D(in_features if name == "norm1" else self.out_features,
+                                           self.zq_channels, self.groups,
+                                           dtype=self.dtype, param_dtype=self.param_dtype,
+                                           name=name)(h, zq)
+
+        h = norm("norm1")(x)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_features, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="conv1")(h)
+        h = norm("norm2")(h)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_features, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="conv2")(h)
+        if in_features != self.out_features:
+            x = CausalConv3d(self.out_features, (1, 1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+def _temporal_avg_pool(x):
+    """Causal temporal 2x pool with odd-first-frame passthrough."""
+    t = x.shape[1]
+    if t % 2 == 1:
+        first, rest = x[:, :1], x[:, 1:]
+        if rest.shape[1] > 0:
+            rest = 0.5 * (rest[:, 0::2] + rest[:, 1::2])
+        return jnp.concatenate([first, rest], axis=1)
+    return 0.5 * (x[:, 0::2] + x[:, 1::2])
+
+
+class Downsample3D(nn.Module):
+    """Spatial stride-2 conv (pad right/bottom), optional temporal pool."""
+    features: int
+    compress_time: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.compress_time:
+            x = _temporal_avg_pool(x)
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 1), (0, 1), (0, 0)])
+        return nn.Conv(self.features, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest 2x spatial (and causal 2t-1 temporal) upsample + conv."""
+    features: int
+    compress_time: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.compress_time and x.shape[1] > 1:
+            first, rest = x[:, :1], x[:, 1:]
+            rest = jnp.repeat(rest, 2, axis=1)
+            x = jnp.concatenate([first, rest], axis=1)   # t -> 2t-1
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        return nn.Conv(self.features, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class Encoder3D(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        kw = dict(dtype=c.dtype, param_dtype=c.param_dtype)
+        import math
+        temporal_levels = int(math.log2(c.temporal_compression_ratio))
+
+        h = CausalConv3d(c.block_out_channels[0], **kw, name="conv_in")(x)
+        for i, ch in enumerate(c.block_out_channels):
+            for j in range(c.layers_per_block):
+                h = ResnetBlock3D(ch, groups=c.norm_num_groups, **kw,
+                                  name=f"down_{i}_res_{j}")(h)
+            if i < len(c.block_out_channels) - 1:
+                h = Downsample3D(ch, compress_time=i < temporal_levels, **kw,
+                                 name=f"down_{i}_downsample")(h)
+        for j in range(2):
+            h = ResnetBlock3D(c.block_out_channels[-1], groups=c.norm_num_groups,
+                              **kw, name=f"mid_res_{j}")(h)
+        h = GroupNorm(c.norm_num_groups, param_dtype=c.param_dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        return CausalConv3d(2 * c.latent_channels, **kw, name="conv_out")(h)
+
+
+class Decoder3D(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.cfg
+        kw = dict(dtype=c.dtype, param_dtype=c.param_dtype)
+        import math
+        temporal_levels = int(math.log2(c.temporal_compression_ratio))
+        rev = tuple(reversed(c.block_out_channels))   # (512, 256, 256, 128)
+        zq = z
+
+        h = CausalConv3d(rev[0], **kw, name="conv_in")(z)
+        for j in range(2):
+            h = ResnetBlock3D(rev[0], zq_channels=c.latent_channels,
+                              groups=c.norm_num_groups, **kw,
+                              name=f"mid_res_{j}")(h, zq)
+        n = len(rev)
+        for i, ch in enumerate(rev):
+            for j in range(c.layers_per_block + 1):
+                h = ResnetBlock3D(ch, zq_channels=c.latent_channels,
+                                  groups=c.norm_num_groups, **kw,
+                                  name=f"up_{i}_res_{j}")(h, zq)
+            if i < n - 1:
+                h = Upsample3D(ch, compress_time=i < temporal_levels, **kw,
+                               name=f"up_{i}_upsample")(h)
+        h = SpatialNorm3D(rev[-1], c.latent_channels, c.norm_num_groups,
+                          **kw, name="norm_out")(h, zq)
+        h = nn.silu(h)
+        return CausalConv3d(c.out_channels, **kw, name="conv_out")(h)
+
+
+@dataclasses.dataclass(frozen=True)
+class CausalVAE:
+    """Public API in reference layout ([B,T,C,H,W]); NDHWC internally."""
+    cfg: VAEConfig = VAEConfig()
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.cfg
+        k1, k2 = jax.random.split(key)
+        enc = Encoder3D(c).init(k1, jnp.zeros((1, 1, 8, 8, c.in_channels), c.dtype))
+        t_lat = 1
+        dec = Decoder3D(c).init(
+            k2, jnp.zeros((1, t_lat, 1, 1, c.latent_channels), c.dtype))
+        return {"encoder": enc["params"], "decoder": dec["params"]}
+
+    def encode_moments(self, params, video: jnp.ndarray) -> jnp.ndarray:
+        """video [B,T,3,H,W] in [-1,1] -> moments [B,T',2C,H/8,W/8]."""
+        x = video.transpose(0, 1, 3, 4, 2).astype(self.cfg.dtype)
+        m = Encoder3D(self.cfg).apply({"params": params["encoder"]}, x)
+        return m.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+
+    def encode(self, params, video: jnp.ndarray, key: Optional[jax.Array] = None,
+               sample: bool = False) -> jnp.ndarray:
+        """Returns scaled latents [B,T',C,H/8,W/8] (mode unless sample)."""
+        moments = self.encode_moments(params, video)
+        mean, logvar = jnp.split(moments, 2, axis=2)
+        if sample:
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, mean.dtype)
+        return mean * self.cfg.scaling_factor
+
+    def decode(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        """Scaled latents [B,T',C,h,w] -> video [B,T,3,H,W] in [-1,1]."""
+        z = (latents / self.cfg.scaling_factor).transpose(0, 1, 3, 4, 2)
+        z = z.astype(self.cfg.dtype)
+        x = Decoder3D(self.cfg).apply({"params": params["decoder"]}, z)
+        return x.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+
+    @classmethod
+    def tiny(cls) -> "CausalVAE":
+        return cls(VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                             latent_channels=4, norm_num_groups=4,
+                             dtype=jnp.float32))
