@@ -187,3 +187,23 @@ class Schedule:
         # prev_t < 0 (last step) falls back to first-order (reference behavior)
         prev = jnp.where(prev_t < 0, prev_first, prev_second)
         return prev, x0
+
+    def dpm_step_scan(
+        self,
+        model_output: jnp.ndarray,
+        old_pred: jnp.ndarray,
+        t: jnp.ndarray,
+        t_back: jnp.ndarray,
+        prev_t: jnp.ndarray,
+        sample: jnp.ndarray,
+        second_order: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`dpm_step` for use inside `lax.scan`: `old_pred` is always an
+        array (zeros on the first step) and `second_order` (bool scalar)
+        masks the multistep branch on step 0."""
+        prev2, x0 = self.dpm_step(model_output, old_pred, t, t_back, prev_t,
+                                  sample, noise)
+        prev1, _ = self.dpm_step(model_output, None, t, None, prev_t,
+                                 sample, noise)
+        return jnp.where(second_order, prev2, prev1), x0

@@ -1,0 +1,197 @@
+"""BindYourAvatar inference pipeline — fully on-device denoise loop.
+
+Re-architecture of reference `BindyouravatarPipeline.__call__`
+(`models/pipeline_bindyouravatar.py:624-980`): the 50-step DPM++/CFG loop is
+ONE jitted `lax.scan` (CFG as a leading batch axis of 2, exactly the
+reference's `cat([latents]*2)` but compiled once), conditioning tensors are
+CFG-doubled up front (reference `:877-884`, `cfg_id_*` helpers
+`models/utils.py:630-657`), and the scheduler's two-sample recursion is the
+scan carry.  Text encode and VAE encode/decode run as separate jitted
+stages (the reference offloads modules between them — on TPU we simply
+don't keep duplicates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig, SchedulerConfig
+from ..models.dit import DiT
+from ..models.vae import CausalVAE
+from ..ops.scheduler import Schedule
+
+
+def cfg_double(x: Optional[jnp.ndarray], zero_uncond: bool) -> Optional[jnp.ndarray]:
+    """[B, ...] -> [2B, ...]: uncond half first (zeros if `zero_uncond`)."""
+    if x is None:
+        return None
+    un = jnp.zeros_like(x) if zero_uncond else x
+    return jnp.concatenate([un, x], axis=0)
+
+
+def temporal_or_routing(routing: jnp.ndarray, grid: Tuple[int, int, int]) -> jnp.ndarray:
+    """Forced/teacher masks are OR-reduced over time then repeated
+    (reference `transformer.py:747-749, 815-818`).  routing: [B, S, I]."""
+    t, h, w = grid
+    b, s, i = routing.shape
+    r = routing.reshape(b, t, h, w, i)
+    r = jnp.max(r, axis=1, keepdims=True)
+    return jnp.broadcast_to(r, (b, t, h, w, i)).reshape(b, s, i)
+
+
+@dataclasses.dataclass(frozen=True)
+class BindYourAvatarPipeline:
+    dit: DiT
+    vae: CausalVAE
+    schedule: Schedule
+    cfg: PipelineConfig = PipelineConfig()
+
+    @classmethod
+    def create(cls, dit: DiT, vae: CausalVAE,
+               cfg: PipelineConfig = PipelineConfig(),
+               sched_cfg: SchedulerConfig = SchedulerConfig()) -> "BindYourAvatarPipeline":
+        return cls(dit=dit, vae=vae, schedule=Schedule.create(sched_cfg), cfg=cfg)
+
+    # ------------------------------------------------------------------ #
+    def prepare_image_latents(self, vae_params, image: jnp.ndarray,
+                              latent_frames: int) -> jnp.ndarray:
+        """Encode the conditioning image and zero-pad to `latent_frames`
+        (reference `prepare_latents`, pipeline:376-458)."""
+        lat = self.vae.encode(vae_params, image)          # [B,1,C,h,w]
+        pad = jnp.zeros((lat.shape[0], latent_frames - lat.shape[1]) + lat.shape[2:],
+                        lat.dtype)
+        return jnp.concatenate([lat, pad], axis=1)
+
+    # ------------------------------------------------------------------ #
+    def denoise(
+        self,
+        dit_params,
+        prompt_embeds: jnp.ndarray,          # [2B, L, text_dim] (CFG-doubled)
+        image_latents: jnp.ndarray,          # [B, T, C, h, w]
+        key: jax.Array,
+        *,
+        bg_latents: Optional[jnp.ndarray] = None,
+        id_cond: Optional[jnp.ndarray] = None,          # [B, I, 1280]
+        id_vit_hidden: Optional[jnp.ndarray] = None,    # [B, I, 5, 577, 1024]
+        audio_embeds: Optional[jnp.ndarray] = None,     # [B, tracks, A, 12, 768]
+        mute_embeds: Optional[jnp.ndarray] = None,
+        af_matrix: Optional[jnp.ndarray] = None,        # [B, I, I]
+        routing_forcing: Optional[jnp.ndarray] = None,  # [B, S, I] (stage 2)
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        latents: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Run the full CFG denoise loop; returns final latents [B,T,C,h,w]."""
+        c = self.cfg
+        steps = num_inference_steps or c.num_inference_steps
+        guidance = guidance_scale if guidance_scale is not None else c.guidance_scale
+        b, t_lat, ch, h_lat, w_lat = image_latents.shape
+        zero2cond = c.zero2cond_cfg
+
+        ts = self.schedule.timesteps(steps)                       # [N] descending
+        prev_ts = ts - self.schedule.config.num_train_timesteps // steps
+        ts_back = np.concatenate([[ts[0]], ts[:-1]])              # prev loop t
+        second = np.arange(steps) > 0
+
+        rope = self.dit.rope(h_lat * 8, w_lat * 8, t_lat,
+                             base_height_px=c.base_height, base_width_px=c.base_width)
+
+        # CFG doubling of conditioning (reference :877-884 + cfg helpers)
+        pe = prompt_embeds
+        img_lat2 = cfg_double(image_latents, zero2cond)
+        bg2 = (jnp.concatenate([bg_latents] * 2, axis=0)
+               if bg_latents is not None else None)
+        idc2 = cfg_double(id_cond, zero2cond)
+        vit2 = cfg_double(id_vit_hidden, zero2cond)
+        af2 = cfg_double(af_matrix, zero2cond)
+        audio2 = cfg_double(audio_embeds, True) if audio_embeds is not None else None
+        force2 = (jnp.concatenate([routing_forcing] * 2, axis=0)
+                  if routing_forcing is not None else None)
+        if force2 is not None:
+            force2 = temporal_or_routing(force2, self.dit.cfg.latent_grid)
+
+        key, k_init = jax.random.split(key)
+        if latents is None:
+            latents = jax.random.normal(
+                k_init, (b, t_lat, ch, h_lat, w_lat), jnp.float32)
+
+        sched = self.schedule
+        dit = self.dit
+
+        def step_fn(carry, xs):
+            lat, old_pred, k = carry
+            t_cur, t_prev, t_bk, so = xs
+            k, k_noise = jax.random.split(k)
+
+            lat_in = jnp.concatenate([lat] * 2, axis=0)
+            chans = [lat_in, img_lat2]
+            if bg2 is not None:
+                chans.append(bg2)
+            model_in = jnp.concatenate(chans, axis=2)
+
+            tvec = jnp.broadcast_to(t_cur.astype(jnp.float32), (2 * b,))
+            noise_pred, _ = dit.apply(
+                dit_params, model_in, pe, tvec, rope,
+                id_cond=idc2, id_vit_hidden=vit2, audio_embeds=audio2,
+                mute_embeds=mute_embeds, af_matrix=af2,
+                routing_override=force2)
+            noise_pred = noise_pred.astype(jnp.float32)
+            un, txt = jnp.split(noise_pred, 2, axis=0)
+            if c.use_dynamic_cfg:
+                # reference formula verbatim (pipeline:927-930) — note it
+                # mixes timestep VALUE with step count, as shipped
+                g = 1.0 + guidance * (
+                    (1.0 - jnp.cos(jnp.pi * ((steps - t_cur) / steps) ** 5.0)) / 2.0)
+            else:
+                g = guidance
+            guided = un + g * (txt - un)
+
+            noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
+            new_lat, x0 = sched.dpm_step_scan(guided, old_pred, t_cur, t_bk,
+                                              t_prev, lat, so, noise)
+            return (new_lat, x0, k), None
+
+        xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
+              jnp.asarray(second))
+        (final, _, _), _ = jax.lax.scan(
+            step_fn, (latents, jnp.zeros_like(latents), key), xs)
+        return final
+
+    # ------------------------------------------------------------------ #
+    def generate(
+        self,
+        params: Dict[str, Any],
+        prompt_embeds: jnp.ndarray,
+        negative_prompt_embeds: jnp.ndarray,
+        image: jnp.ndarray,                   # [B,1,3,H,W] conditioning canvas
+        key: jax.Array,
+        image_bg: Optional[jnp.ndarray] = None,
+        decode: bool = True,
+        **cond,
+    ):
+        """End-to-end: prepare latents -> denoise -> decode.
+
+        `params` = {"dit": ..., "vae": ...}.  Conditioning kwargs as in
+        `denoise`.  Returns video [B,T,3,H,W] in [-1,1] (or latents).
+        """
+        c = self.cfg
+        t_lat = (c.num_frames - 1) // self.dit.cfg.temporal_compression_ratio + 1
+        img_lat = self.prepare_image_latents(params["vae"], image, t_lat)
+        bg_lat = None
+        if image_bg is not None:
+            bg_lat = self.prepare_image_latents(params["vae"], image_bg, t_lat)
+        elif self.dit.cfg.in_channels // self.vae.cfg.latent_channels >= 3:
+            bg_lat = jnp.zeros_like(img_lat)   # reference `use_inpaint=False`
+
+        pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+        lat = self.denoise(params["dit"], pe, img_lat, key,
+                           bg_latents=bg_lat, **cond)
+        if not decode:
+            return lat
+        return self.vae.decode(params["vae"], lat)

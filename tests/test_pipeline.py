@@ -1,0 +1,138 @@
+"""Tiny end-to-end pipeline tests: full CFG denoise scan + VAE + masks."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.config import PipelineConfig, VAEConfig
+from bindyouravatar_tpu.models.dit import DiT
+from bindyouravatar_tpu.models.vae import CausalVAE
+from bindyouravatar_tpu.pipeline.pipeline import (BindYourAvatarPipeline,
+                                                  cfg_double, temporal_or_routing)
+from bindyouravatar_tpu.utils.masks import (index_mask_to_routing,
+                                            masks_to_index_mask,
+                                            noisy_teacher_routing)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # tiny DiT whose in_channels = 2x latent channels (noise + image cond)
+    dit = DiT.tiny(in_channels=8, out_channels=4)
+    vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                              latent_channels=4, norm_num_groups=4,
+                              dtype=jnp.float32))
+    pipe = BindYourAvatarPipeline.create(
+        dit, vae, PipelineConfig(height=dit.cfg.sample_height * 8,
+                                 width=dit.cfg.sample_width * 8,
+                                 num_frames=dit.cfg.sample_frames,
+                                 num_inference_steps=4, guidance_scale=6.0))
+    params = {"dit": dit.init(jax.random.key(0)),
+              "vae": vae.init(jax.random.key(1))}
+    return pipe, params
+
+
+def _cond(dit, b=1):
+    c = dit.cfg
+    ks = jax.random.split(jax.random.key(7), 6)
+    id_cond = jax.random.normal(ks[0], (b, c.num_ids, dit.lfe_cfg.id_embed_dim))
+    vit = jax.random.normal(ks[1], (b, c.num_ids, dit.lfe_cfg.num_scales, 9,
+                                    dit.lfe_cfg.vit_dim))
+    a = dit.audio_cfg
+    n_af = c.sample_frames + a.window_size - a.window_stride
+    audio = jax.random.normal(ks[2], (b, 2, n_af, a.blocks, a.audio_dim))
+    af = jnp.eye(c.num_ids)[None].repeat(b, 0)
+    return dict(id_cond=id_cond, id_vit_hidden=vit, audio_embeds=audio,
+                af_matrix=af)
+
+
+def test_generate_end_to_end(setup):
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    b = 1
+    prompt = jax.random.normal(jax.random.key(2), (b, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    neg = jnp.zeros_like(prompt)
+    image = jax.random.uniform(jax.random.key(3),
+                               (b, 1, 3, c.sample_height * 8, c.sample_width * 8),
+                               minval=-1, maxval=1)
+    video = pipe.generate(params, prompt, neg, image, jax.random.key(4),
+                          **_cond(dit))
+    assert video.shape == (b, c.sample_frames, 3, c.sample_height * 8,
+                           c.sample_width * 8)
+    assert np.all(np.isfinite(np.asarray(video)))
+
+
+def test_denoise_seed_determinism_and_guidance(setup):
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    t_lat = c.latent_frames
+    prompt = jax.random.normal(jax.random.key(2), (2, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    # DiT operates on the latent grid directly: [B, T_lat, C_lat, H_lat, W_lat]
+    img_lat = jax.random.normal(jax.random.key(3),
+                                (1, t_lat, 4, c.sample_height, c.sample_width))
+    cond = _cond(dit)
+    l1 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5), **cond)
+    l2 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5), **cond)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    l3 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(6), **cond)
+    assert np.abs(np.asarray(l1) - np.asarray(l3)).max() > 1e-4
+    l4 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5),
+                      guidance_scale=1.5, **cond)
+    assert np.abs(np.asarray(l1) - np.asarray(l4)).max() > 1e-5
+
+
+def test_routing_forcing_path(setup):
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    s = c.video_seq_len
+    prompt = jax.random.normal(jax.random.key(2), (2, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    img_lat = jax.random.normal(jax.random.key(3),
+                                (1, c.latent_frames, 4, c.sample_height,
+                                 c.sample_width))
+    force = (jax.random.uniform(jax.random.key(9), (1, s, c.num_ids)) > 0.5
+             ).astype(jnp.float32)
+    cond = _cond(dit)
+    l1 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5), **cond)
+    l2 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5),
+                      routing_forcing=force, **cond)
+    assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-5
+
+
+def test_cfg_double_and_temporal_or():
+    x = jnp.arange(6.0).reshape(1, 3, 2)
+    d = cfg_double(x, False)
+    np.testing.assert_array_equal(np.asarray(d[0]), np.asarray(d[1]))
+    z = cfg_double(x, True)
+    assert np.all(np.asarray(z[0]) == 0)
+
+    r = jnp.zeros((1, 2 * 2 * 3, 2)).at[0, 0, 0].set(1.0)  # only frame 0 active
+    out = temporal_or_routing(r, (2, 2, 3))
+    o = np.asarray(out).reshape(2, 2, 3, 2)
+    assert o[0, 0, 0, 0] == 1.0 and o[1, 0, 0, 0] == 1.0  # OR'd across frames
+
+
+def test_mask_conversion_roundtrip():
+    rng = np.random.default_rng(0)
+    m1 = np.zeros((8, 16, 24), np.float32)
+    m2 = np.zeros((8, 16, 24), np.float32)
+    m1[:, :, :8] = 1.0   # id1 left
+    m2[:, :, 16:] = 1.0  # id2 right
+    idx = masks_to_index_mask(m1, m2, 2, 4, 6)
+    assert set(np.unique(idx)) <= {-1, 0, 1}
+    routing = index_mask_to_routing(idx)
+    assert routing.shape == (1, 2 * 4 * 6, 2)
+    grid_idx = idx.reshape(2, 4, 6)
+    assert (grid_idx[:, :, 0] == 0).all()   # left cols -> id1
+    assert (grid_idx[:, :, 5] == 1).all()   # right cols -> id2
+
+    teacher = noisy_teacher_routing(idx, (2, 4, 6), rng)
+    assert teacher.shape == (2 * 4 * 6, 2)
+    assert teacher.min() >= 0.0 and teacher.max() <= 1.0
