@@ -1,0 +1,46 @@
+"""Device mesh construction for data/FSDP/tensor parallel execution.
+
+TPU-native replacement for the reference's Accelerate+DeepSpeed/NCCL stack
+(SURVEY.md §2.7): one `jax.sharding.Mesh` created at program start; pjit
+emits all collectives over ICI.  The reference's ZeRO-2 (grad+opt-state
+sharding over 8 GPUs, `zero_stage2_config.json`) maps to the `fsdp` axis
+here (a superset: params are sharded too and all-gathered per layer).
+Multi-host (the 2x8 `hostfile.txt` config) = `jax.distributed.initialize`
++ the same mesh spanning slices over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "dp"
+AXIS_FSDP = "fsdp"
+AXIS_TENSOR = "tp"
+
+
+def create_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a (dp, fsdp, tp) mesh.  `dp=None` absorbs remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        if n % (fsdp * tp) != 0:
+            raise ValueError(f"{n} devices not divisible by fsdp*tp={fsdp * tp}")
+        dp = n // (fsdp * tp)
+    if dp * fsdp * tp != n:
+        raise ValueError(f"mesh {dp}x{fsdp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis sharded over dp x fsdp (FSDP semantics)."""
+    return NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
