@@ -1,0 +1,147 @@
+"""Checkpoint/resume + reference-import tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.config import SchedulerConfig, TrainConfig
+from bindyouravatar_tpu.models.dit import DiT
+from bindyouravatar_tpu.ops.scheduler import Schedule
+from bindyouravatar_tpu.training.checkpoint import (import_reference_dit,
+                                                    latest_step, load_submodules,
+                                                    restore_checkpoint,
+                                                    save_checkpoint,
+                                                    save_submodules)
+from bindyouravatar_tpu.training.trainer import Trainer
+
+
+def test_save_restore_roundtrip(tmp_path):
+    d = str(tmp_path / "ckpt")
+    payload = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+               "step": jnp.asarray(7), "cursor": jnp.asarray(123)}
+    save_checkpoint(d, 7, payload)
+    assert latest_step(d) == 7
+    out = restore_checkpoint(d, like=payload)
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.asarray(payload["params"]["w"]))
+    assert int(out["cursor"]) == 123
+
+
+def test_rotation_limit(tmp_path):
+    d = str(tmp_path / "ckpt")
+    for s in (1, 2, 3):
+        save_checkpoint(d, s, {"x": jnp.asarray(s)}, total_limit=2)
+    assert latest_step(d) == 3
+    steps = sorted(int(p) for p in os.listdir(d) if p.isdigit())
+    assert steps == [2, 3]
+
+
+def test_submodule_interop(tmp_path):
+    dit = DiT.tiny()
+    p1 = dit.init(jax.random.key(0))
+    p2 = dit.init(jax.random.key(1))
+    d = str(tmp_path / "subs")
+    save_submodules(p1, d)
+    merged = load_submodules(p2, d)
+    # router/audio/face come from p1, base blocks stay p2
+    a = jax.tree.leaves(merged["router_trunk"])[0]
+    b = jax.tree.leaves(p1["router_trunk"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    base_m = jax.tree.leaves(merged["blocks"])[0]
+    base_2 = jax.tree.leaves(p2["blocks"])[0]
+    np.testing.assert_array_equal(np.asarray(base_m), np.asarray(base_2))
+
+
+def _synthetic_reference_sd(cfg):
+    """Random torch-layout state dict for the base DiT (reference naming)."""
+    rng = np.random.default_rng(0)
+    sd = {}
+    dim = cfg.inner_dim
+    hd = cfg.attention_head_dim
+    te = cfg.time_embed_dim
+
+    def add(name, *shape):
+        sd[name] = rng.normal(0, 0.02, shape).astype(np.float32)
+
+    add("patch_embed.proj.weight", dim, cfg.in_channels, cfg.patch_size, cfg.patch_size)
+    add("patch_embed.proj.bias", dim)
+    add("patch_embed.text_proj.weight", dim, cfg.text_embed_dim)
+    add("patch_embed.text_proj.bias", dim)
+    add("time_embedding.linear_1.weight", te, dim)
+    add("time_embedding.linear_1.bias", te)
+    add("time_embedding.linear_2.weight", te, te)
+    add("time_embedding.linear_2.bias", te)
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}"
+        for nrm in ("norm1", "norm2"):
+            add(f"{p}.{nrm}.linear.weight", 6 * dim, te)
+            add(f"{p}.{nrm}.linear.bias", 6 * dim)
+            add(f"{p}.{nrm}.norm.weight", dim)
+            add(f"{p}.{nrm}.norm.bias", dim)
+        for proj in ("to_q", "to_k", "to_v"):
+            add(f"{p}.attn1.{proj}.weight", dim, dim)
+            add(f"{p}.attn1.{proj}.bias", dim)
+        for nrm in ("norm_q", "norm_k"):
+            add(f"{p}.attn1.{nrm}.weight", hd)
+            add(f"{p}.attn1.{nrm}.bias", hd)
+        add(f"{p}.attn1.to_out.0.weight", dim, dim)
+        add(f"{p}.attn1.to_out.0.bias", dim)
+        add(f"{p}.ff.net.0.proj.weight", 4 * dim, dim)
+        add(f"{p}.ff.net.0.proj.bias", 4 * dim)
+        add(f"{p}.ff.net.2.weight", dim, 4 * dim)
+        add(f"{p}.ff.net.2.bias", dim)
+    add("norm_final.weight", dim)
+    add("norm_final.bias", dim)
+    add("norm_out.linear.weight", 2 * dim, te)
+    add("norm_out.linear.bias", 2 * dim)
+    add("norm_out.norm.weight", dim)
+    add("norm_out.norm.bias", dim)
+    add("proj_out.weight", cfg.patch_size ** 2 * cfg.out_channels, dim)
+    add("proj_out.bias", cfg.patch_size ** 2 * cfg.out_channels)
+    return sd
+
+
+def test_import_reference_dit_shapes(tmp_path):
+    from safetensors.numpy import save_file
+
+    dit = DiT.tiny(is_train_face=False, is_train_audio=False)
+    sd = _synthetic_reference_sd(dit.cfg)
+    f = str(tmp_path / "model.safetensors")
+    save_file(sd, f)
+
+    params = import_reference_dit([f], dit)
+    ref = dit.init(jax.random.key(0))
+    # identical tree structure + shapes
+    ps = jax.tree_util.tree_map(lambda x: x.shape, params)
+    rs = jax.tree_util.tree_map(lambda x: x.shape, ref)
+    assert ps == rs
+    # forward runs with imported params
+    c = dit.cfg
+    lat = jnp.zeros((1, c.latent_frames, c.in_channels, c.sample_height,
+                     c.sample_width))
+    text = jnp.zeros((1, c.max_text_seq_length, c.text_embed_dim))
+    rope = dit.rope(c.sample_height * 8, c.sample_width * 8, c.latent_frames)
+    out, _ = dit.apply(params, lat, text, jnp.array([10.0]), rope)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_import_channel_growth(tmp_path):
+    """16 -> 48 channel patch-embed surgery (transformer.py:1061-1073)."""
+    from safetensors.numpy import save_file
+
+    dit_small = DiT.tiny(is_train_face=False, is_train_audio=False, in_channels=4)
+    sd = _synthetic_reference_sd(dit_small.cfg)
+    f = str(tmp_path / "m.safetensors")
+    save_file(sd, f)
+
+    dit_big = DiT.tiny(is_train_face=False, is_train_audio=False, in_channels=8)
+    params = import_reference_dit([f], dit_big)
+    k = np.asarray(params["patch_embed"]["proj"]["kernel"])
+    assert k.shape[0] == 8 * dit_big.cfg.patch_size ** 2
+    # grown input channels are zero: rows for channels 4..7
+    p = dit_big.cfg.patch_size
+    grown = k.reshape(8, p * p, -1)[4:]
+    assert np.abs(grown).max() == 0.0
