@@ -1,0 +1,206 @@
+"""Training driver loop (reference `train.py:1109-1795` + `train.sh`).
+
+Host loop around the jitted step: data prefetch -> on-device VAE encode ->
+teacher-mask prep -> train_step -> metrics -> checkpoint/rotation ->
+auto-resume.  Failure handling follows the reference's spirit (SURVEY §5):
+step watchdog (logs overruns; XLA steps can't be SIGALRM-skipped — the
+divergence is documented), data retry lives in the dataset, and
+`resume='latest'` restores params/opt-state/sampler cursor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..models.dit import DiT
+from ..models.vae import CausalVAE
+from ..ops.scheduler import Schedule
+from ..utils.masks import masks_to_index_mask, index_mask_to_routing, noisy_teacher_routing
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint, save_submodules
+from .data import PrefetchLoader, ResumableSampler, collate
+from .trainer import Trainer, TrainState, merge_params
+
+
+class MetricsLogger:
+    """jsonl always; tensorboard when available (reference logs the same
+    per-step scalars to wandb/tb, `train.py:1737-1768`)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(out_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        row = {"step": step}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self.tb:
+            for k, v in row.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+
+@dataclasses.dataclass
+class TrainDriver:
+    trainer: Trainer
+    vae: Optional[CausalVAE]
+    vae_params: Optional[Dict[str, Any]]
+    cfg: TrainConfig
+    output_dir: str
+    mesh: Any = None
+    text_encode_fn: Optional[Callable[[list], np.ndarray]] = None
+    face_embed_fn: Optional[Callable[[np.ndarray], Dict[str, np.ndarray]]] = None
+    mute_embeds: Optional[np.ndarray] = None
+    step_warn_seconds: float = 300.0
+
+    def prepare_batch(self, sample: Dict[str, Any], rng: np.random.Generator,
+                      text_embeds: Optional[np.ndarray] = None,
+                      id_cond: Optional[np.ndarray] = None,
+                      id_vit_hidden: Optional[np.ndarray] = None) -> Dict[str, Any]:
+        """Host sample dict -> device batch for `Trainer.train_step`.
+
+        VAE encode runs on device; teacher masks are built host-side
+        (OR-reduce + corruption, reference `transformer.py:741-774`)."""
+        d = self.trainer.dit.cfg
+        video = jnp.asarray(sample["video"])              # [B,T,3,H,W]
+        b = video.shape[0]
+
+        if self.vae is not None:
+            video_lat = self.vae.encode(self.vae_params, video)
+            image_lat = self.vae.encode(self.vae_params, video[:, :1])
+            pad = jnp.zeros((b, video_lat.shape[1] - 1) + image_lat.shape[2:],
+                            image_lat.dtype)
+            image_lat = jnp.concatenate([image_lat, pad], axis=1)
+        else:   # latents passed through directly (synthetic path)
+            video_lat = jnp.asarray(sample["video_latents"])
+            image_lat = jnp.asarray(sample["image_latents"])
+
+        t_lat = video_lat.shape[1]
+        gh = video_lat.shape[3] // d.patch_size
+        gw = video_lat.shape[4] // d.patch_size
+
+        teacher_clean, teacher_noisy, dense_lat = [], [], []
+        for i in range(b):
+            masks = sample["masks"][i]                    # [I, T_px, H, W]
+            idx = masks_to_index_mask(masks[0], masks[1], t_lat, gh, gw)
+            clean = index_mask_to_routing(idx, d.num_ids)[0]
+            clean = clean.reshape(t_lat, gh, gw, d.num_ids).max(0, keepdims=True)
+            clean = np.broadcast_to(clean, (t_lat, gh, gw, d.num_ids)).reshape(-1, d.num_ids)
+            teacher_clean.append(clean)
+            teacher_noisy.append(noisy_teacher_routing(
+                idx, (t_lat, gh, gw), rng, d.num_ids))
+            dm = sample["dense_mask"][i]
+            from ..utils.masks import resize_mask_trilinear
+
+            dense_lat.append(resize_mask_trilinear(
+                dm, t_lat, video_lat.shape[3], video_lat.shape[4]))
+
+        if text_embeds is None:
+            if self.text_encode_fn is None:
+                raise ValueError("need text_embeds or text_encode_fn")
+            text_embeds = self.text_encode_fn(sample["prompt"])
+
+        batch = dict(
+            video_latents=video_lat,
+            image_latents=image_lat,
+            prompt_embeds=jnp.asarray(text_embeds),
+            teacher_clean=jnp.asarray(np.stack(teacher_clean)),
+            teacher_noisy=jnp.asarray(np.stack(teacher_noisy)),
+            dense_mask=jnp.asarray(np.stack(dense_lat)),
+            af_matrix=jnp.asarray(sample["af_matrix"]),
+            audio_embeds=jnp.asarray(sample["audio"]) if sample["audio"].size else None,
+            mute_embeds=(jnp.asarray(self.mute_embeds)
+                         if self.mute_embeds is not None else None),
+        )
+        if id_cond is not None:
+            batch["id_cond"] = jnp.asarray(id_cond)
+            batch["id_vit_hidden"] = jnp.asarray(id_vit_hidden)
+        elif self.face_embed_fn is not None:
+            emb = self.face_embed_fn(sample["face_crops"])
+            batch["id_cond"] = jnp.asarray(emb["id_cond"])
+            batch["id_vit_hidden"] = jnp.asarray(emb["id_vit_hidden"])
+        if self.mesh is not None:
+            batch = self.trainer.place_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------ #
+    def run(self, dataset, params: Dict[str, Any], batch_size: int = 1,
+            max_steps: Optional[int] = None, resume: Optional[str] = "latest",
+            make_batch_extras: Optional[Callable] = None,
+            validation_fn: Optional[Callable] = None) -> TrainState:
+        cfg = self.cfg
+        os.makedirs(self.output_dir, exist_ok=True)
+        logger = MetricsLogger(self.output_dir)
+        ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+
+        state, frozen = self.trainer.init_state(params, mesh=self.mesh)
+        sampler = ResumableSampler(len(dataset), shuffle=True, seed=cfg.seed)
+
+        start_step = 0
+        if resume == "latest" and latest_step(ckpt_dir) is not None:
+            payload = restore_checkpoint(
+                ckpt_dir, like={"state": state, "sampler": sampler.state_dict()})
+            state = payload["state"]
+            sampler.load_state_dict(
+                jax.tree.map(lambda x: int(np.asarray(x)), payload["sampler"]))
+            start_step = int(jax.device_get(state.step))
+            print(f"[resume] restored step {start_step}")
+
+        loader = PrefetchLoader(dataset, sampler, batch_size)
+        step_fn = self.trainer.jit_train_step()
+        rng_np = np.random.default_rng(cfg.seed + start_step)
+        key = jax.random.key(cfg.seed)
+        total = max_steps or cfg.max_train_steps
+
+        step = start_step
+        try:
+            while step < total:
+                sample = next(loader)
+                extras = make_batch_extras(sample) if make_batch_extras else {}
+                batch = self.prepare_batch(sample, rng_np, **extras)
+                key, k_step = jax.random.split(key)
+                t0 = time.perf_counter()
+                state, metrics = step_fn(state, frozen, batch, k_step)
+                loss = float(jax.device_get(metrics["loss"]))  # sync point
+                dt = time.perf_counter() - t0
+                if dt > self.step_warn_seconds:
+                    print(f"[watchdog] step {step} took {dt:.0f}s "
+                          f"(> {self.step_warn_seconds:.0f}s)")
+                step += 1
+                metrics["step_time_s"] = dt
+                logger.log(step, metrics)
+
+                if step % cfg.checkpointing_steps == 0 or step >= total:
+                    save_checkpoint(ckpt_dir, step,
+                                    {"state": state, "sampler": sampler.state_dict()},
+                                    total_limit=cfg.checkpoints_total_limit)
+                    full = merge_params(
+                        state.params if state.ema_params is None else state.ema_params,
+                        frozen)
+                    save_submodules(full, os.path.join(self.output_dir,
+                                                       f"modules-{step}"))
+                    if validation_fn is not None:
+                        validation_fn(step, full)
+        finally:
+            loader.close()
+        return state
