@@ -1,0 +1,110 @@
+"""CLI / preprocessing / media / cfg tests."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_cfg_merge(tmp_path):
+    from bindyouravatar_tpu.utils.cfg_files import (load_merged_argv, parse_cfg)
+
+    d = tmp_path / "default.cfg"
+    d.write_text("--model_size tiny\n--num_inference_steps 4  # comment\n")
+    s = tmp_path / "001.cfg"
+    s.write_text('--prompt "two people talking"\n--num_inference_steps 2\n')
+    argv = load_merged_argv(str(d), str(s))
+    assert "--model_size" in argv and "tiny" in argv
+    i = argv.index("--num_inference_steps")
+    assert argv[i + 1] == "2"            # sample overrides default
+    assert "two people talking" in argv
+
+
+def test_face_processor_fullframe():
+    from bindyouravatar_tpu.preprocess.face import build_default_processor
+    from bindyouravatar_tpu.models.eva_clip import EVACLIPVision
+
+    import jax
+
+    eva = EVACLIPVision.tiny()
+    proc = build_default_processor(eva=eva, eva_params=eva.init(jax.random.key(0)))
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (100, 80, 3), dtype=np.uint8) for _ in range(2)]
+    out = proc.process_split(imgs, (48, 96))
+    assert out["id_cond"].shape == (1, 2, 512 + eva.cfg.out_dim)
+    assert out["id_vit_hidden"].shape[0:2] == (1, 2)
+    assert out["canvas"].shape == (48, 96, 3)
+    # deterministic
+    out2 = proc.process_split(imgs, (48, 96))
+    np.testing.assert_allclose(out["id_cond"], out2["id_cond"], atol=1e-5)
+
+
+def test_alignment_umeyama_identity():
+    from bindyouravatar_tpu.preprocess.face import ARCFACE_DST, estimate_norm
+
+    m = estimate_norm(ARCFACE_DST.copy(), 112)
+    np.testing.assert_allclose(m[:, :2], np.eye(2), atol=1e-5)
+    np.testing.assert_allclose(m[:, 2], 0.0, atol=1e-4)
+
+
+def test_media_export_roundtrip(tmp_path):
+    from bindyouravatar_tpu.utils.media import export_to_video
+    from bindyouravatar_tpu.training.data import read_video_frames
+
+    frames = (np.random.default_rng(0).integers(
+        0, 255, (5, 48, 64, 3)).astype(np.uint8))
+    p = str(tmp_path / "v.mp4")
+    export_to_video(frames, p, fps=5)
+    assert os.path.getsize(p) > 0
+    back = read_video_frames(p, [0, 4])
+    assert back.shape == (2, 48, 64, 3)
+
+
+def test_sam2_fallback_masks(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from sam2_tools import fallback_masks, write_masks
+
+    rng = np.random.default_rng(0)
+    frames = np.full((4, 32, 48, 3), 128, np.uint8)
+    frames[:, 8:24, 4:16] = rng.integers(0, 255, (4, 16, 12, 3))   # left actor
+    frames[:, 8:24, 30:44] = rng.integers(0, 255, (4, 16, 14, 3))  # right actor
+    masks = fallback_masks(frames)
+    assert masks.shape == (2, 4, 32, 48)
+    assert masks[0, :, :, :24].sum() > 0 and masks[0, :, :, 24:].sum() == 0
+    write_masks(masks, str(tmp_path / "m"))
+    assert os.path.isfile(str(tmp_path / "m" / "1" / "annotated_frame_00000.png"))
+
+    from bindyouravatar_tpu.utils.masks import masks_to_routing_logits
+
+    routing = masks_to_routing_logits(str(tmp_path / "m"), 2, 4, 6)
+    assert routing.shape == (1, 2 * 4 * 6, 2)
+
+
+@pytest.mark.slow
+def test_cli_tiny_end_to_end(tmp_path):
+    """Full CLI flow on the tiny model: audio conditioning -> generate ->
+    mp4.  (Face embedding dims are tied to the full-size encoders, so the
+    tiny CLI run exercises the audio path; the face path is covered by
+    test_pipeline / test_face_processor_fullframe.)"""
+    import torch
+
+    import infer
+
+    a1 = str(tmp_path / "a1.pt")
+    a2 = str(tmp_path / "a2.pt")
+    # tiny audio cfg: blocks=2, dim=16; 9 frames + 4 slack
+    for p in (a1, a2):
+        torch.save(torch.randn(13, 2, 16), p)
+
+    out = infer.main([
+        "--model_size", "tiny",
+        "--audio_path", a1, a2,
+        "--num_inference_steps", "2", "--num_frames", "9",
+        "--height", "128", "--width", "192",
+        "--output_dir", str(tmp_path / "out")])
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
