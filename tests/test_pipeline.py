@@ -136,3 +136,30 @@ def test_mask_conversion_roundtrip():
     teacher = noisy_teacher_routing(idx, (2, 4, 6), rng)
     assert teacher.shape == (2 * 4 * 6, 2)
     assert teacher.min() >= 0.0 and teacher.max() <= 1.0
+
+
+def test_native_mask_kernels_match_python():
+    """C++ mask kernels (when built) == numpy path == torch trilinear."""
+    import torch
+    import torch.nn.functional as F
+
+    from bindyouravatar_tpu.utils import masks as M
+
+    rng = np.random.default_rng(0)
+    m = rng.random((9, 64, 96)).astype(np.float32)
+    m2 = rng.random((9, 64, 96)).astype(np.float32)
+
+    ref = F.interpolate(torch.from_numpy(m)[None, None], size=(3, 8, 12),
+                        mode="trilinear", align_corners=False)[0, 0].numpy()
+    out = M.resize_mask_trilinear(m, 3, 8, 12)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    res = M.masks_to_teacher_native(m, m2, 3, 8, 12)
+    if res is not None:   # native lib built
+        idx, teacher = res
+        idx_py = M.masks_to_index_mask(m, m2, 3, 8, 12)
+        np.testing.assert_array_equal(idx, idx_py)
+        assert teacher.shape == (3 * 8 * 12, 2)
+        # teacher is temporally constant (OR-reduced + repeated)
+        t3 = teacher.reshape(3, 8 * 12, 2)
+        np.testing.assert_array_equal(t3[0], t3[1])
