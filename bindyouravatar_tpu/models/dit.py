@@ -169,7 +169,7 @@ class DiT:
 
         if not c.use_rotary_positional_embeddings:
             pos = get_3d_sincos_pos_embed(
-                dim, (wg, hg), t, c.spatial_interpolation_scale,
+                dim, (hg, wg), t, c.spatial_interpolation_scale,
                 c.temporal_interpolation_scale).reshape(1, -1, dim)
             joint = np.zeros((1, c.max_text_seq_length + pos.shape[1], dim), np.float32)
             joint[:, c.max_text_seq_length:] = pos

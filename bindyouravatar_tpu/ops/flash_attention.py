@@ -25,9 +25,9 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
                 *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
-                need_mask: bool):
+                need_mask: bool, save_residuals: bool):
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -72,6 +72,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_fin = l_ref[:, :1]
         inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
         o_ref[0, 0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+        if save_residuals:
+            # LSE per row; all-masked (padded-q) rows get +BIG so the
+            # backward recompute yields p = exp(s - BIG) = 0
+            m_fin = m_ref[:, :1]
+            lse = jnp.where(l_fin == 0.0, -NEG_INF, m_fin + jnp.log(l_fin))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,7 +85,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
-              block_q: int, block_k: int, interpret: bool):
+              block_q: int, block_k: int, interpret: bool,
+              save_residuals: bool = False):
     b, h, s, d = q.shape
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
@@ -92,18 +99,22 @@ def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
 
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
-        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < s_pad)
+        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < s_pad,
+        save_residuals=save_residuals)
 
-    out = pl.pallas_call(
+    qo_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
+    lse_spec = pl.BlockSpec((1, 1, block_q, LANES),
+                            lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+                  jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32)]
+
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_shape=out_shapes,
         grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=[qo_spec, lse_spec],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # m
             pltpu.VMEM((block_q, LANES), jnp.float32),   # l
@@ -114,7 +125,151 @@ def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
         ),
         interpret=interpret,
     )(q, k, v)
+    if save_residuals:
+        return out[:, :, :s, :], lse
     return out[:, :, :s, :]
+
+
+# --------------------------------------------------------------------------
+# Pallas backward kernels (dkv and dq)
+# --------------------------------------------------------------------------
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc,
+                *, sm_scale: float, kv_len: int, block_k: int,
+                num_q_blocks: int, need_mask: bool):
+    iq = pl.program_id(3)
+    ik = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]                     # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if need_mask:
+        cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                           # [bq, bk]
+
+    # dv += p^T @ do  (contract over q rows)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # ds = p * (do @ v^T - delta), delta = rowsum(o * do)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1, keepdims=True)        # [bq, 1]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * sm_scale               # [bq, bk]
+    # dk += ds^T @ q
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+               dq_ref, dq_acc,
+               *, sm_scale: float, kv_len: int, block_k: int,
+               num_kv_blocks: int, need_mask: bool):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if need_mask:
+        cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * sm_scale)
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_impl(q, k, v, o, lse, do, sm_scale: float, kv_len: int,
+              block_q: int, block_k: int, interpret: bool):
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v, o, do = (jnp.pad(x, pad) for x in (q, k, v, o, do))
+        # lse already padded to s_pad by the forward
+    nq = s_pad // block_q
+    nk = s_pad // block_k
+    need_mask = kv_len < s_pad
+
+    q_spec_kv = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+    kv_spec_kv = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, ik, iq: (b_, h_, ik, 0))
+    lse_spec_kv = pl.BlockSpec((1, 1, block_q, LANES),
+                               lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, sm_scale=sm_scale, kv_len=kv_len,
+                          block_k=block_k, num_q_blocks=nq, need_mask=need_mask),
+        out_shape=[jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32)] * 2,
+        grid=(b, h, nk, nq),
+        in_specs=[q_spec_kv, kv_spec_kv, kv_spec_kv, q_spec_kv, q_spec_kv,
+                  lse_spec_kv],
+        out_specs=[kv_spec_kv, kv_spec_kv],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, o, lse)
+
+    q_spec_q = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    kv_spec_q = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
+    lse_spec_q = pl.BlockSpec((1, 1, block_q, LANES),
+                              lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sm_scale=sm_scale, kv_len=kv_len,
+                          block_k=block_k, num_kv_blocks=nk, need_mask=need_mask),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
+        grid=(b, h, nq, nk),
+        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, q_spec_q, lse_spec_q],
+        out_specs=q_spec_q,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, o, lse)
+
+    clip = lambda x: x[:, :, :s, :]
+    return (clip(dq).astype(q.dtype), clip(dk).astype(k.dtype),
+            clip(dv).astype(v.dtype))
 
 
 # --------------------------------------------------------------------------
@@ -185,19 +340,37 @@ def _chunked_bwd(q, k, v, o, do, sm_scale: float, kv_len: int, block_q: int = 10
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+BWD_BLOCK_Q = 512
+BWD_BLOCK_K = 512
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
     return _fwd_impl(q, k, v, sm_scale, kv_len, block_q, block_k, interpret)
 
 
 def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
-    o = _fwd_impl(q, k, v, sm_scale, kv_len, block_q, block_k, interpret)
-    return o, (q, k, v, o)
+    # smaller blocks when saving residuals: the lse output block + scores
+    # tile exceed scoped VMEM at block_q=2048
+    bq = min(block_q, 1024)
+    bk = min(block_k, 1024)
+    o, lse = _fwd_impl(q, k, v, sm_scale, kv_len, bq, bk, interpret,
+                       save_residuals=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, res, do):
-    q, k, v, o = res
-    return _chunked_bwd(q, k, v, o, do, sm_scale, kv_len)
+    q, k, v, o, lse = res
+    bq = min(BWD_BLOCK_Q, block_q)
+    bk = min(BWD_BLOCK_K, block_k)
+    # forward padded lse to the bwd padding granularity
+    s = q.shape[2]
+    s_pad = _round_up(s, max(bq, bk))
+    if lse.shape[2] < s_pad:   # fwd used larger blocks -> lse longer; else pad
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, s_pad - lse.shape[2]), (0, 0)],
+                      constant_values=-NEG_INF)
+    return _bwd_impl(q, k, v, o, lse[:, :, :s_pad], do, sm_scale, kv_len,
+                     bq, bk, interpret)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

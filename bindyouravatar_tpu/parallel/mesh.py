@@ -37,6 +37,21 @@ def create_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
     return Mesh(arr, (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR))
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (the reference's 2x8 Accelerate+hostfile config,
+    SURVEY §2.7#29): call once per host before creating the mesh; the same
+    (dp, fsdp, tp) mesh then spans slices over DCN.  No-ops on one host."""
+    import os
+
+    if coordinator is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch axis sharded over dp x fsdp (FSDP semantics)."""
     return NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))

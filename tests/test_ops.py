@@ -216,3 +216,49 @@ def test_flash_attention_cpu_dispatch():
     out = flash_attention(q, q, q)
     ref = sdpa(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_pallas_backward_matches_sdpa_grad():
+    """Full custom_vjp path (Pallas fwd+bwd, interpret mode) vs XLA grads."""
+    from bindyouravatar_tpu.ops.flash_attention import _flash
+
+    q = jax.random.normal(jax.random.key(0), (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash(q, k, v, 64 ** -0.5, 256, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_pallas_backward_padded_kv():
+    """Gradients with masked padding: padded kv/q positions get zero grad."""
+    from bindyouravatar_tpu.ops.flash_attention import _flash
+
+    s_valid = 200
+    q = jax.random.normal(jax.random.key(0), (1, 1, 256, 64), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 1, 256, 64), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 1, 256, 64), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = _flash(q, k, v, 64 ** -0.5, s_valid, 128, 128, True)
+        return jnp.sum(out[:, :, :s_valid] ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q[:, :, :s_valid], k[:, :, :s_valid],
+                            v[:, :, :s_valid]) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q[:, :, :s_valid], k[:, :, :s_valid], v[:, :, :s_valid])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a[:, :, :s_valid]),
+                                   np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a[:, :, s_valid:]), 0.0, atol=1e-5)
