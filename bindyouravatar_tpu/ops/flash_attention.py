@@ -80,6 +80,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_kernel_nores(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, **kw):
+    """Forward without the residual output (inference path)."""
+    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None, m_ref, l_ref, acc_ref,
+                save_residuals=False, **kw)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -106,15 +112,22 @@ def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
     kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
     lse_spec = pl.BlockSpec((1, 1, block_q, LANES),
                             lambda b_, h_, iq, ik: (b_, h_, iq, 0))
-    out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-                  jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)]
+    out_specs = [qo_spec]
+    if save_residuals:   # lse output costs VMEM — only when training needs it
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32))
+        out_specs.append(lse_spec)
+    else:
+        kernel = functools.partial(_fwd_kernel_nores, sm_scale=sm_scale,
+                                   kv_len=kv_len, block_k=block_k,
+                                   num_kv_blocks=nk, need_mask=kv_len < s_pad)
 
-    out, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=(b, h, nq, nk),
         in_specs=[qo_spec, kv_spec, kv_spec],
-        out_specs=[qo_spec, lse_spec],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # m
             pltpu.VMEM((block_q, LANES), jnp.float32),   # l
@@ -126,8 +139,9 @@ def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
         interpret=interpret,
     )(q, k, v)
     if save_residuals:
+        out, lse = res
         return out[:, :, :s, :], lse
-    return out[:, :, :s, :]
+    return res[0][:, :, :s, :]
 
 
 # --------------------------------------------------------------------------
