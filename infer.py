@@ -30,6 +30,12 @@ def get_args(argv=None):
                    help="dir with {audio,face,router}_modules sub-checkpoints")
     p.add_argument("--reference_transformer", type=str, nargs="*", default=None,
                    help="reference sharded safetensors for the base DiT")
+    p.add_argument("--reference_audio_modules", type=str, default=None,
+                   help="reference audio_modules.pt")
+    p.add_argument("--reference_face_modules", type=str, default=None,
+                   help="reference face_modules.pt")
+    p.add_argument("--reference_router_modules", type=str, default=None,
+                   help="reference router_modules.pt")
     p.add_argument("--num_layers", type=int, default=42)
     p.add_argument("--model_size", choices=["tiny", "5b"], default="5b")
     # inputs (reference flags :456-499)
@@ -108,6 +114,14 @@ def load_params(pipe, args):
         params = restore_checkpoint(args.checkpoint_dir, like=params)
     if args.module_dir:
         params["dit"] = load_submodules(params["dit"], args.module_dir)
+    if (args.reference_audio_modules or args.reference_face_modules
+            or args.reference_router_modules):
+        from bindyouravatar_tpu.training.import_submodules import import_all_submodules
+
+        params["dit"] = import_all_submodules(
+            params["dit"], audio=args.reference_audio_modules,
+            face=args.reference_face_modules,
+            router=args.reference_router_modules)
     return params
 
 
