@@ -170,7 +170,10 @@ def test_train_step_decreases_router_loss(trainer_setup):
 
 def test_train_step_sharded_on_mesh(trainer_setup):
     """Full FSDP train step on the virtual 8-device mesh."""
-    tr, params = trainer_setup
+    tr, _ = trainer_setup
+    # fresh params: the previous test's donated step consumed the shared
+    # buffers (donation invalidates them — standard JAX semantics)
+    params = tr.dit.init(jax.random.key(0))
     mesh = create_mesh(dp=2, fsdp=4)
     state, frozen = tr.init_state(params, mesh=mesh)
     batch = tr.place_batch(_batch(tr.dit, b=8), mesh)
