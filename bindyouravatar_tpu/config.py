@@ -254,6 +254,11 @@ class PipelineConfig:
 class TrainConfig:
     """Stage-3 trainer config (reference `sft.sh` + `util/utils.py:25-479`)."""
     learning_rate: float = 1e-5
+    optimizer: str = "adamw"            # "adamw" | "adafactor" (TPU-native)
+    # two-group LR (reference `train.py:756-762`): perceiver x10, rest x0.1
+    is_diff_lr: bool = False
+    diff_lr_high: float = 10.0
+    diff_lr_low: float = 0.1
     lr_scheduler: str = "cosine_with_restarts"
     lr_warmup_steps: int = 100
     lr_num_cycles: int = 1

@@ -60,13 +60,19 @@ class BindYourAvatarPipeline:
 
     # ------------------------------------------------------------------ #
     def prepare_image_latents(self, vae_params, image: jnp.ndarray,
-                              latent_frames: int) -> jnp.ndarray:
-        """Encode the conditioning image and zero-pad to `latent_frames`
+                              latent_frames: int,
+                              kps_image: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Encode the conditioning image (+ optional rendered-keypoint frame,
+        the `is_kps` path) and zero-pad to `latent_frames`
         (reference `prepare_latents`, pipeline:376-458)."""
         lat = self.vae.encode(vae_params, image)          # [B,1,C,h,w]
-        pad = jnp.zeros((lat.shape[0], latent_frames - lat.shape[1]) + lat.shape[2:],
+        parts = [lat]
+        if kps_image is not None:
+            parts.append(self.vae.encode(vae_params, kps_image))
+        used = sum(p.shape[1] for p in parts)
+        pad = jnp.zeros((lat.shape[0], latent_frames - used) + lat.shape[2:],
                         lat.dtype)
-        return jnp.concatenate([lat, pad], axis=1)
+        return jnp.concatenate(parts + [pad], axis=1)
 
     # ------------------------------------------------------------------ #
     def denoise(

@@ -85,12 +85,34 @@ def make_lr_schedule(cfg: TrainConfig):
     raise ValueError(cfg.lr_scheduler)
 
 
+def _base_opt(cfg: TrainConfig, lr_mult: float = 1.0) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg)
+    lr = (lambda c: sched(c) * lr_mult) if lr_mult != 1.0 else sched
+    if cfg.optimizer == "adamw":
+        return optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay)
+    if cfg.optimizer == "adafactor":   # TPU-native low-memory choice
+        return optax.adafactor(lr)
+    raise ValueError(f"unknown optimizer {cfg.optimizer} "
+                     "(8-bit/prodigy have no optax equivalent; use adamw)")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(make_lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                    eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay),
-    )
+    clip = optax.clip_by_global_norm(cfg.max_grad_norm)
+    if not cfg.is_diff_lr:
+        return optax.chain(clip, _base_opt(cfg))
+
+    # two-group LR (reference `train.py:756-762`): perceiver_cross_attention
+    # at lr*high, all other trainables at lr*low
+    def label_fn(params):
+        flat = _flat(params)
+        labels = {k: ("high" if k.startswith("perceiver") else "low")
+                  for k in flat}
+        return _unflat(labels)
+
+    return optax.chain(clip, optax.multi_transform(
+        {"high": _base_opt(cfg, cfg.diff_lr_high),
+         "low": _base_opt(cfg, cfg.diff_lr_low)}, label_fn))
 
 
 class TrainState(flax.struct.PyTreeNode):

@@ -69,6 +69,34 @@ def merge_audio_files(paths: Sequence[str], out_path: str) -> str:
     return out_path
 
 
+KPS_COLORS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0), (255, 0, 255)]
+KPS_LIMBS = [(0, 2), (1, 2), (3, 2), (4, 2)]
+
+
+def draw_kps(height: int, width: int, kps_list, radius: int = 4) -> np.ndarray:
+    """Render 5-point facial keypoints (reference `draw_kps`,
+    `pipeline_bindyouravatar.py:61-87` / `models/utils.py:257-283`):
+    limb polygons at half intensity + colored joints on black.
+    kps_list: list of [5, 2] arrays (one per face)."""
+    import cv2
+
+    canvas = np.zeros((height, width, 3), np.uint8)
+    for kps in kps_list:
+        kps = np.asarray(kps, np.float32)
+        for a, b in KPS_LIMBS:
+            color = KPS_COLORS[a]
+            x = kps[[a, b], 0]
+            y = kps[[a, b], 1]
+            length = float(np.hypot(x[0] - x[1], y[0] - y[1]))
+            angle = float(np.degrees(np.arctan2(y[0] - y[1], x[0] - x[1])))
+            poly = cv2.ellipse2Poly((int(x.mean()), int(y.mean())),
+                                    (int(length / 2), radius), int(angle), 0, 360, 1)
+            cv2.fillConvexPoly(canvas, poly, [c * 0.6 for c in color])
+        for i, (px, py) in enumerate(kps):
+            cv2.circle(canvas, (int(px), int(py)), radius + 2, KPS_COLORS[i], -1)
+    return canvas
+
+
 def save_routing_video(routing: np.ndarray, grid, path: str, fps: int = 25) -> str:
     """Router mask visualisation (reference `draw_routing_logit`,
     `util/utils.py:750-784`): per-id mask frames upscaled into one mp4,

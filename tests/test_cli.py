@@ -108,3 +108,13 @@ def test_cli_tiny_end_to_end(tmp_path):
         "--height", "128", "--width", "192",
         "--output_dir", str(tmp_path / "out")])
     assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+
+def test_draw_kps():
+    from bindyouravatar_tpu.utils.media import draw_kps
+
+    kps = np.array([[20, 30], [60, 30], [40, 45], [28, 60], [52, 60]], np.float32)
+    img = draw_kps(96, 96, [kps])
+    assert img.shape == (96, 96, 3)
+    assert img.sum() > 0
+    assert (img[0, 0] == 0).all()   # background black

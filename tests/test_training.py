@@ -186,3 +186,38 @@ def test_train_step_sharded_on_mesh(trainer_setup):
     assert len(leaf.sharding.device_set) in (1, 4, 8)
     state, m2 = step(state, frozen, batch, jax.random.key(6))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_diff_lr_groups():
+    """Two-group LR (reference train.py:756-762): perceiver updates move
+    ~100x more than other groups under the same gradient scale."""
+    import dataclasses
+
+    from bindyouravatar_tpu.config import TrainConfig
+    from bindyouravatar_tpu.training.trainer import make_optimizer, partition_params
+    from bindyouravatar_tpu.models.dit import DiT
+    import optax
+
+    dit = DiT.tiny(lora_rank=2)
+    params = dit.init(jax.random.key(0))
+    trainable, _ = partition_params(params)
+    cfg = TrainConfig(is_diff_lr=True, lr_scheduler="constant",
+                      learning_rate=1e-3, optimizer="adamw")
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(trainable)
+    grads = jax.tree.map(jnp.ones_like, trainable)
+    updates, _ = tx.update(grads, opt_state, trainable)
+    up_high = float(jnp.abs(jax.tree.leaves(updates["perceiver"])[0]).mean())
+    up_low = float(jnp.abs(jax.tree.leaves(updates["router_trunk"])[0]).mean())
+    assert up_high > 50 * up_low
+
+
+def test_adafactor_option():
+    from bindyouravatar_tpu.config import TrainConfig
+    from bindyouravatar_tpu.training.trainer import make_optimizer
+
+    tx = make_optimizer(TrainConfig(optimizer="adafactor", lr_scheduler="constant"))
+    p = {"w": jnp.ones((4, 4))}
+    s = tx.init(p)
+    u, _ = tx.update(jax.tree.map(jnp.ones_like, p), s, p)
+    assert np.all(np.isfinite(np.asarray(u["w"])))
