@@ -118,3 +118,33 @@ def test_draw_kps():
     assert img.shape == (96, 96, 3)
     assert img.sum() > 0
     assert (img[0, 0] == 0).all()   # background black
+
+
+def test_batch_driver_plumbing(tmp_path, monkeypatch):
+    """batch_run_samples merges default+sample cfgs and invokes the CLI once
+    per sample with per-sample output dirs (infer.main mocked)."""
+    cfg_dir = tmp_path / "config"
+    cfg_dir.mkdir()
+    (cfg_dir / "default.cfg").write_text("--model_size tiny\n--seed 1\n")
+    (cfg_dir / "001.cfg").write_text('--prompt "a"\n')
+    (cfg_dir / "002.cfg").write_text('--prompt "b"\n--seed 7\n')
+
+    calls = []
+    import infer
+
+    monkeypatch.setattr(infer, "main", lambda argv: calls.append(argv))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import batch_run_samples
+
+    monkeypatch.setattr("sys.argv", ["batch_run_samples.py",
+                                     "--config_dir", str(cfg_dir),
+                                     "--output_root", str(tmp_path / "out")])
+    try:
+        batch_run_samples.main()
+    except SystemExit as e:
+        assert int(e.code or 0) == 0
+    assert len(calls) == 2
+    assert "--seed" in calls[0] and calls[0][calls[0].index("--seed") + 1] == "1"
+    assert calls[1][calls[1].index("--seed") + 1] == "7"
+    assert str(tmp_path / "out" / "001") in calls[0]
