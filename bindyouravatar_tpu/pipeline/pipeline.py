@@ -158,9 +158,13 @@ class BindYourAvatarPipeline:
                 g = guidance
             guided = un + g * (txt - un)
 
-            noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
-            new_lat, x0 = sched.dpm_step_scan(guided, old_pred, t_cur, t_bk,
-                                              t_prev, lat, so, noise)
+            if c.scheduler_type == "ddim":
+                new_lat = sched.ddim_step(guided, t_cur, t_prev, lat)
+                x0 = old_pred    # unused carry in DDIM mode
+            else:
+                noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
+                new_lat, x0 = sched.dpm_step_scan(guided, old_pred, t_cur, t_bk,
+                                                  t_prev, lat, so, noise)
             return (new_lat, x0, k), None
 
         xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),

@@ -1,0 +1,88 @@
+"""Encoder importers: synthetic torch-layout dicts -> flax trees (shape parity
+with init + forward runs with imported params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bindyouravatar_tpu.config import EVACLIPConfig, T5Config
+from bindyouravatar_tpu.models.eva_clip import EVACLIPVision
+from bindyouravatar_tpu.models.t5 import T5TextEncoder
+from bindyouravatar_tpu.training.import_encoders import (import_eva_vision,
+                                                         import_t5_encoder)
+
+
+def _shapes(t):
+    return jax.tree.map(lambda x: tuple(np.shape(x)), t)
+
+
+def test_import_t5():
+    cfg = T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                   num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    sd = {"shared.weight": rng.normal(0, 1, (128, 32)).astype(np.float32),
+          "encoder.final_layer_norm.weight": np.ones(32, np.float32),
+          "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+              rng.normal(0, 1, (32, 4)).astype(np.float32)}
+    for i in range(2):
+        b = f"encoder.block.{i}.layer"
+        for n, shape in [("0.SelfAttention.q", (32, 32)), ("0.SelfAttention.k", (32, 32)),
+                         ("0.SelfAttention.v", (32, 32)), ("0.SelfAttention.o", (32, 32)),
+                         ("1.DenseReluDense.wi_0", (64, 32)),
+                         ("1.DenseReluDense.wi_1", (64, 32)),
+                         ("1.DenseReluDense.wo", (32, 64))]:
+            sd[f"{b}.{n}.weight"] = rng.normal(0, 0.05, shape).astype(np.float32)
+        sd[f"{b}.0.layer_norm.weight"] = np.ones(32, np.float32)
+        sd[f"{b}.1.layer_norm.weight"] = np.ones(32, np.float32)
+
+    enc = T5TextEncoder(cfg)
+    ref = enc.init(jax.random.key(0))
+    imported = import_t5_encoder(sd, cfg)
+    assert _shapes(imported) == _shapes(ref)
+    out = enc.apply(imported, jnp.zeros((1, 8), jnp.int32))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_import_eva():
+    eva = EVACLIPVision.tiny()
+    cfg = eva.cfg
+    rng = np.random.default_rng(1)
+    w = cfg.width
+    hidden = int(w * cfg.mlp_ratio)
+    sd = {"patch_embed.proj.weight": rng.normal(0, 0.05, (w, 3, cfg.patch_size,
+                                                          cfg.patch_size)).astype(np.float32),
+          "patch_embed.proj.bias": np.zeros(w, np.float32),
+          "cls_token": rng.normal(0, 0.02, (1, 1, w)).astype(np.float32),
+          "pos_embed": rng.normal(0, 0.02, (1, cfg.seq_len, w)).astype(np.float32),
+          "norm.weight": np.ones(w, np.float32), "norm.bias": np.zeros(w, np.float32),
+          "head.weight": rng.normal(0, 0.05, (cfg.out_dim, w)).astype(np.float32),
+          "head.bias": np.zeros(cfg.out_dim, np.float32)}
+    for i in range(cfg.depth):
+        b = f"blocks.{i}"
+        for n in ("norm1", "norm2"):
+            sd[f"{b}.{n}.weight"] = np.ones(w, np.float32)
+            sd[f"{b}.{n}.bias"] = np.zeros(w, np.float32)
+        sd[f"{b}.attn.q_proj.weight"] = rng.normal(0, 0.05, (w, w)).astype(np.float32)
+        sd[f"{b}.attn.k_proj.weight"] = rng.normal(0, 0.05, (w, w)).astype(np.float32)
+        sd[f"{b}.attn.v_proj.weight"] = rng.normal(0, 0.05, (w, w)).astype(np.float32)
+        sd[f"{b}.attn.q_bias"] = np.zeros(w, np.float32)
+        sd[f"{b}.attn.v_bias"] = np.zeros(w, np.float32)
+        sd[f"{b}.attn.inner_attn_ln.weight"] = np.ones(w, np.float32)
+        sd[f"{b}.attn.inner_attn_ln.bias"] = np.zeros(w, np.float32)
+        sd[f"{b}.attn.proj.weight"] = rng.normal(0, 0.05, (w, w)).astype(np.float32)
+        sd[f"{b}.attn.proj.bias"] = np.zeros(w, np.float32)
+        sd[f"{b}.mlp.w1.weight"] = rng.normal(0, 0.05, (hidden, w)).astype(np.float32)
+        sd[f"{b}.mlp.w1.bias"] = np.zeros(hidden, np.float32)
+        sd[f"{b}.mlp.w2.weight"] = rng.normal(0, 0.05, (hidden, w)).astype(np.float32)
+        sd[f"{b}.mlp.w2.bias"] = np.zeros(hidden, np.float32)
+        sd[f"{b}.mlp.ffn_ln.weight"] = np.ones(hidden, np.float32)
+        sd[f"{b}.mlp.ffn_ln.bias"] = np.zeros(hidden, np.float32)
+        sd[f"{b}.mlp.w3.weight"] = rng.normal(0, 0.05, (w, hidden)).astype(np.float32)
+        sd[f"{b}.mlp.w3.bias"] = np.zeros(w, np.float32)
+
+    ref = eva.init(jax.random.key(0))
+    imported = import_eva_vision(sd, cfg)
+    assert _shapes(imported) == _shapes(ref)
+    pooled, hidden_states = eva.apply(imported, jnp.zeros((1, 3, cfg.image_size,
+                                                           cfg.image_size)))
+    assert np.all(np.isfinite(np.asarray(pooled)))
