@@ -137,3 +137,27 @@ class T5TextEncoder:
     def tiny(cls):
         return cls(T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
                             num_layers=2, num_heads=4, dtype=jnp.float32))
+
+
+def tokenize(prompts, tokenizer_dir: str, max_length: int = 226):
+    """Tokenize with a LOCAL sentencepiece tokenizer (reference uses the
+    T5 tokenizer at 226 tokens, `pipeline_bindyouravatar.py:310-320`).
+    Returns (input_ids [B, L], attention_mask [B, L]) as numpy."""
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(tokenizer_dir)
+    out = tok(prompts, padding="max_length", max_length=max_length,
+              truncation=True, return_tensors="np")
+    return out["input_ids"], out["attention_mask"].astype(bool)
+
+
+def encode_prompts(params, prompts, tokenizer_dir: str,
+                   cfg: T5Config = T5Config(), max_length: int = 226):
+    """prompts -> embeddings [B, L, d_model] (the reference zeroes nothing:
+    embeddings at padded positions pass through with the mask applied in
+    attention; downstream consumes the full 226 tokens)."""
+    import jax as _jax
+
+    ids, mask = tokenize(prompts, tokenizer_dir, max_length)
+    enc = T5TextEncoder(cfg)
+    return _jax.jit(enc.apply)(params, ids, mask)

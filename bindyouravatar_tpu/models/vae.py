@@ -262,12 +262,37 @@ class CausalVAE:
                 key, mean.shape, mean.dtype)
         return mean * self.cfg.scaling_factor
 
-    def decode(self, params, latents: jnp.ndarray) -> jnp.ndarray:
-        """Scaled latents [B,T',C,h,w] -> video [B,T,3,H,W] in [-1,1]."""
-        z = (latents / self.cfg.scaling_factor).transpose(0, 1, 3, 4, 2)
-        z = z.astype(self.cfg.dtype)
-        x = Decoder3D(self.cfg).apply({"params": params["decoder"]}, z)
-        return x.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+    def decode(self, params, latents: jnp.ndarray,
+               temporal_chunk: Optional[int] = None) -> jnp.ndarray:
+        """Scaled latents [B,T',C,h,w] -> video [B,T,3,H,W] in [-1,1].
+
+        `temporal_chunk`: decode in chunks of that many latent frames with
+        one context latent frame of overlap — cuts peak activation memory
+        ~T'/chunk-fold for 49f x 480p decode on 16 GB chips.  Chunk
+        boundaries are approximate (GroupNorm statistics are per-chunk and
+        the causal receptive field is truncated at the context edge — the
+        same approximation class as the reference's VAE tiling flags,
+        SURVEY §2.9)."""
+        if temporal_chunk is None or latents.shape[1] <= temporal_chunk:
+            z = (latents / self.cfg.scaling_factor).transpose(0, 1, 3, 4, 2)
+            z = z.astype(self.cfg.dtype)
+            x = Decoder3D(self.cfg).apply({"params": params["decoder"]}, z)
+            return x.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+
+        t_lat = latents.shape[1]
+        r = self.cfg.temporal_compression_ratio
+        outs = []
+        i = 0
+        while i < t_lat:
+            k = min(temporal_chunk, t_lat - i)
+            lo = max(0, i - 1)                       # 1 latent frame of context
+            chunk = self.decode(params, latents[:, lo:i + k])
+            if i == 0:
+                outs.append(chunk)                   # owns pixels 0..r(k-1)
+            else:
+                outs.append(chunk[:, 1:1 + r * k])   # drop context pixels
+            i += k
+        return jnp.concatenate(outs, axis=1)
 
     @classmethod
     def tiny(cls) -> "CausalVAE":

@@ -52,6 +52,9 @@ def get_args(argv=None):
                    help="mute fixture .pt (required for single-track audio)")
     p.add_argument("--prompt_embeds", type=str, default=None,
                    help="precomputed T5 embeddings .npy [1,226,4096]")
+    p.add_argument("--t5_dir", type=str, default=None,
+                   help="local T5 checkpoint+tokenizer dir (zero-egress "
+                        "environments: use --prompt_embeds instead)")
     # generation
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
@@ -205,6 +208,23 @@ def main(argv=None):
     if args.prompt_embeds:
         pe = jnp.asarray(np.load(args.prompt_embeds))
         ne = jnp.zeros_like(pe)
+    elif args.t5_dir:
+        from bindyouravatar_tpu.models.t5 import encode_prompts
+        from bindyouravatar_tpu.training.import_encoders import import_t5_encoder
+
+        wfile = None
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            pth = os.path.join(args.t5_dir, cand)
+            if os.path.isfile(pth):
+                wfile = pth
+                break
+        if wfile is None:
+            raise SystemExit(f"no T5 weights found under {args.t5_dir}")
+        t5_params = import_t5_encoder(wfile)
+        pe = encode_prompts(t5_params, [args.prompt], args.t5_dir,
+                            max_length=c.max_text_seq_length)
+        ne = encode_prompts(t5_params, [args.negative_prompt], args.t5_dir,
+                            max_length=c.max_text_seq_length)
     else:
         # no local T5 weights: zero embeddings keep the pipeline runnable
         pe = jnp.zeros((1, c.max_text_seq_length, c.text_embed_dim))

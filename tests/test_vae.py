@@ -71,3 +71,17 @@ def test_sampling_uses_key(vae, params):
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
     mode = vae.encode(params, video)
     assert np.all(np.isfinite(np.asarray(mode)))
+
+
+def test_chunked_decode_shape_and_proximity(vae, params):
+    """Temporal-chunked decode: exact frame count, values close to the
+    full decode away from chunk boundaries."""
+    lat = jax.random.normal(jax.random.key(7), (1, 5, vae.cfg.latent_channels, 4, 4))
+    full = vae.decode(params, lat)
+    chunked = vae.decode(params, lat, temporal_chunk=2)
+    assert chunked.shape == full.shape == (1, 17, 3, 32, 32)
+    # first chunk decodes identically (causal + same GN stats over the prefix
+    # is NOT guaranteed — GN spans time — so compare loosely overall)
+    err = np.abs(np.asarray(chunked) - np.asarray(full)).mean()
+    scale = np.abs(np.asarray(full)).mean() + 1e-6
+    assert err / scale < 0.5, (err, scale)
