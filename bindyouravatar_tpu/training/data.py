@@ -274,6 +274,200 @@ class AvatarVideoDataset:
                     single_face=len(tracks) <= 1)
 
 
+def get_valid_segments(valid_frame: Dict[str, list], tolerance: int = 5):
+    """Contiguous-ish runs of valid face/head frames (reference
+    `dataloader.py:84-109`: union of 'face' and 'head', gap <= tolerance)."""
+    pos = sorted(set(valid_frame.get("face", [])) | set(valid_frame.get("head", [])))
+    if not pos:
+        return []
+    segs, cur = [], [pos[0]]
+    for a, b in zip(pos, pos[1:]):
+        if b - a <= tolerance:
+            cur.append(b)
+        else:
+            segs.append(cur)
+            cur = [b]
+    segs.append(cur)
+    return segs
+
+
+def generate_frame_indices_for_face(n_frames: int, valid_frame: Dict[str, list],
+                                    tolerance: int = 7, skip_start: int = 2,
+                                    skip_end: int = 2,
+                                    rng: Optional[np.random.Generator] = None):
+    """Pick n contiguous frames inside the longest valid segment (reference
+    `dataloader.py:130-172` semantics: skip leading/trailing frames for the
+    audio window, repeat-pad short segments)."""
+    segs = get_valid_segments(valid_frame, tolerance)
+    if not segs:
+        raise ValueError("no valid face frames")
+    seg = max(segs, key=len)
+    seg = seg[skip_start: len(seg) - skip_end] or seg
+    if len(seg) >= n_frames:
+        max_start = len(seg) - n_frames
+        start = int(rng.integers(0, max_start + 1)) if rng is not None and max_start > 0 else 0
+        return list(seg[start:start + n_frames])
+    # repeat-pad (reference `get_frame_indices_adjusted_for_face`)
+    out = list(seg)
+    i = 0
+    while len(out) < n_frames:
+        out.append(seg[i % len(seg)])
+        i += 1
+    return sorted(out)
+
+
+@dataclasses.dataclass
+class ReferenceLayoutDataset:
+    """Reads the reference's EXACT training layout (`dataloader.py:484-1041`):
+
+    index txt rows `sub_root,anno_json,anno_base`; `anno_json` is a JSON list
+    of {path, cap, fps, duration, speaker}; annotations under
+    `{anno_base}/track_masks_data/{base}/` (valid_frame.json,
+    corresponding_data.json, tracking_mask_results/{track_id}/
+    annotated_frame_%05d.png) and `{anno_base}/refine_bbox_jsons/{base}.json`
+    ({frame: {head|face: [{new_track_id, box:{x1,y1,x2,y2}}]}}); audio
+    embeddings `{anno_base}/audio_emb[/left_audio|/right_audio]/{base}.pt`.
+
+    Emits the same sample dict schema as `AvatarVideoDataset`.
+    """
+    index_file: str
+    num_frames: int = 49
+    height: int = 480
+    width: int = 720
+    num_ids: int = 2
+    skip_frames_start: int = 2
+    skip_frames_end: int = 2
+    miss_tolerance: int = 0
+    error_log: Optional[str] = "error_log.txt"
+    max_retries: int = 8
+    seed: int = 0
+
+    def __post_init__(self):
+        self.samples: List[Dict[str, Any]] = []
+        with open(self.index_file) as f:
+            rows = [l.strip().split(",") for l in f if l.strip()]
+        for sub_root, anno, anno_base in rows:
+            with open(anno) as f:
+                items = json.load(f)
+            for it in items:
+                if it.get("fps", 0) * it.get("duration", 0) < self.num_frames:
+                    continue
+                base = os.path.basename(it["path"])
+                self.samples.append(dict(
+                    video=os.path.join(sub_root, base + ".mp4"),
+                    base=base, anno_base=anno_base,
+                    cap=it.get("cap", ""), speaker=it.get("speaker", "left")))
+        if not self.samples:
+            raise ValueError(f"no usable samples in {self.index_file}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _log_error(self, idx, err):
+        if self.error_log:
+            with open(self.error_log, "a") as f:
+                f.write(f"{idx}\t{type(err).__name__}: {err}\n")
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        rng = np.random.default_rng(self.seed + idx)
+        for _ in range(self.max_retries):
+            try:
+                return self._load(idx, rng)
+            except Exception as e:  # noqa: BLE001 — reference retry contract
+                self._log_error(idx, e)
+                idx = int(rng.integers(0, len(self.samples)))
+        raise DatasetError(f"exceeded retries at {idx}")
+
+    def _load(self, idx: int, rng) -> Dict[str, Any]:
+        from PIL import Image
+
+        s = self.samples[idx]
+        track_dir = os.path.join(s["anno_base"], "track_masks_data", s["base"])
+        with open(os.path.join(track_dir, "valid_frame.json")) as f:
+            valid_frame = json.load(f)
+        with open(os.path.join(track_dir, "corresponding_data.json")) as f:
+            corresponding = json.load(f)
+        bbox_path = os.path.join(s["anno_base"], "refine_bbox_jsons",
+                                 f"{s['base']}.json")
+        bbox_data = {}
+        if os.path.isfile(bbox_path):
+            with open(bbox_path) as f:
+                bbox_data = json.load(f)
+        mask_root = os.path.join(track_dir, "tracking_mask_results")
+
+        valid_ids = [k for k, v in corresponding.items()
+                     if "face" in v or "head" in v][: self.num_ids]
+        if not valid_ids:
+            raise ValueError("no valid ids")
+        vf0 = valid_frame[valid_ids[0]] if valid_ids[0] in valid_frame else valid_frame
+        indices = generate_frame_indices_for_face(
+            self.num_frames, vf0, self.miss_tolerance or 7,
+            self.skip_frames_start, self.skip_frames_end, rng)
+
+        frames = read_video_frames(s["video"], indices)
+        video = short_resize_and_pad(frames, self.height, self.width)
+        video = video.transpose(0, 3, 1, 2)
+
+        def bbox_for(frame: int, vid: str):
+            entry = bbox_data.get(str(frame), {})
+            for kind in ("head", "face"):
+                for item in entry.get(kind, []):
+                    if item.get("new_track_id") == int(vid):
+                        b = item["box"]
+                        return (b["x1"], b["y1"], b["x2"], b["y2"])
+            return None
+
+        masks, crops = [], []
+        single_face = len(valid_ids) == 1
+        for slot in range(self.num_ids):
+            if slot < len(valid_ids):
+                vid = valid_ids[slot]
+                cd = corresponding[vid]
+                track_id = cd.get("face", cd.get("head", cd.get("person")))
+                ms = []
+                for fr in indices:
+                    p = os.path.join(mask_root, str(track_id),
+                                     f"annotated_frame_{int(fr):05d}.png")
+                    arr = np.asarray(Image.open(p).convert("L"), np.float32)
+                    ms.append((arr > 0).astype(np.float32))
+                m = short_resize_and_pad(np.stack(ms)[..., None] * 255.0,
+                                         self.height, self.width)[..., 0]
+                masks.append((m + 1.0) / 2.0)
+                bb = bbox_for(indices[0], vid)
+                if bb is not None:
+                    crops.append(square_expand_crop(frames[0], bb).transpose(2, 0, 1))
+                else:
+                    crops.append(np.zeros((3, 480, 480), np.float32))
+            else:
+                # phantom second id (reference `dataloader.py:911-940`)
+                masks.append(np.zeros((self.num_frames, self.height, self.width),
+                                      np.float32))
+                crops.append(np.zeros((3, 480, 480), np.float32))
+        dense = np.max(np.stack(masks), axis=0)
+
+        # audio: left/right tracks, else the single mixed track
+        start = int(indices[0])
+        tracks = []
+        for sub in ("left_audio", "right_audio"):
+            p = os.path.join(s["anno_base"], "audio_emb", sub, f"{s['base']}.pt")
+            if os.path.isfile(p):
+                tracks.append(load_audio_embedding(p, start, self.num_frames))
+        if not tracks:
+            p = os.path.join(s["anno_base"], "audio_emb", f"{s['base']}.pt")
+            if os.path.isfile(p):
+                tracks.append(load_audio_embedding(p, start, self.num_frames))
+        audio = (np.stack(tracks) if tracks else
+                 np.zeros((0, self.num_frames + AUDIO_WINDOW_SLACK, 12, 768),
+                          np.float32))
+
+        return dict(video=video.astype(np.float32),
+                    face_crops=np.stack(crops).astype(np.float32) / 127.5 - 1.0,
+                    masks=np.stack(masks), dense_mask=dense, audio=audio,
+                    af_matrix=af_matrix_from_speaker(s["speaker"] == "left",
+                                                     self.num_ids),
+                    prompt=s["cap"], single_face=single_face)
+
+
 @dataclasses.dataclass
 class SyntheticAvatarDataset:
     """Schema-identical random data (tests / benches / dry runs)."""
