@@ -252,15 +252,41 @@ class CausalVAE:
         return m.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
 
     def encode(self, params, video: jnp.ndarray, key: Optional[jax.Array] = None,
-               sample: bool = False) -> jnp.ndarray:
-        """Returns scaled latents [B,T',C,H/8,W/8] (mode unless sample)."""
-        moments = self.encode_moments(params, video)
-        mean, logvar = jnp.split(moments, 2, axis=2)
-        if sample:
-            logvar = jnp.clip(logvar, -30.0, 20.0)
-            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                key, mean.shape, mean.dtype)
-        return mean * self.cfg.scaling_factor
+               sample: bool = False,
+               temporal_chunk: Optional[int] = None) -> jnp.ndarray:
+        """Returns scaled latents [B,T',C,H/8,W/8] (mode unless sample).
+
+        `temporal_chunk`: encode in chunks of that many LATENT frames with
+        2 context latent frames (8 pixel frames) of causal left context —
+        approximate at chunk joins (GroupNorm stats + pooling-phase
+        truncation), memory ~T/chunk-fold lower."""
+        r = self.cfg.temporal_compression_ratio
+        t_px = video.shape[1]
+        t_lat = (t_px - 1) // r + 1
+        if temporal_chunk is None or t_lat <= temporal_chunk:
+            moments = self.encode_moments(params, video)
+            mean, logvar = jnp.split(moments, 2, axis=2)
+            if sample:
+                logvar = jnp.clip(logvar, -30.0, 20.0)
+                mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    key, mean.shape, mean.dtype)
+            return mean * self.cfg.scaling_factor
+
+        ctx = 2  # latent frames of left context
+        outs = []
+        i = 0
+        while i < t_lat:
+            k = min(temporal_chunk, t_lat - i)
+            lo_lat = max(0, i - ctx)
+            # pixels owned by latents [lo_lat, i+k): latent j>0 owns
+            # pixels 4j-3..4j; latent 0 owns pixel 0
+            px_lo = 0 if lo_lat == 0 else 4 * lo_lat - 3
+            px_hi = min(t_px, 4 * (i + k - 1) + 1)
+            chunk_key = None if key is None else jax.random.fold_in(key, i)
+            lat = self.encode(params, video[:, px_lo:px_hi], chunk_key, sample)
+            outs.append(lat[:, -k:])   # keep the owned latent frames
+            i += k
+        return jnp.concatenate(outs, axis=1)
 
     def decode(self, params, latents: jnp.ndarray,
                temporal_chunk: Optional[int] = None) -> jnp.ndarray:

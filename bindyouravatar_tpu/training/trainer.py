@@ -158,8 +158,8 @@ class Trainer:
         grid = (video_lat.shape[1], video_lat.shape[3] // d.patch_size,
                 video_lat.shape[4] // d.patch_size)
 
-        r_t, r_noise, r_dropimg, r_dropmask, r_maskloss, r_dropout = \
-            jax.random.split(rng, 6)
+        (r_t, r_noise, r_dropimg, r_dropbg, r_dropmask, r_maskloss,
+         r_dropout) = jax.random.split(rng, 7)
 
         t = jax.random.randint(r_t, (b,), 0, sch.config.num_train_timesteps)
         noise = jax.random.normal(r_noise, video_lat.shape, jnp.float32)
@@ -174,7 +174,7 @@ class Trainer:
         if batch.get("bg_latents") is not None:
             bg = batch["bg_latents"]
             if c.drop_inpaint_prob > 0:
-                keep_bg = (jax.random.uniform(r_dropmask, (b, 1, 1, 1, 1))
+                keep_bg = (jax.random.uniform(r_dropbg, (b, 1, 1, 1, 1))
                            >= c.drop_inpaint_prob)
                 bg = bg * keep_bg
             chans.append(bg)

@@ -85,3 +85,16 @@ def test_chunked_decode_shape_and_proximity(vae, params):
     err = np.abs(np.asarray(chunked) - np.asarray(full)).mean()
     scale = np.abs(np.asarray(full)).mean() + 1e-6
     assert err / scale < 0.5, (err, scale)
+
+
+def test_chunked_encode_shape_and_proximity(vae, params):
+    video = jax.random.normal(jax.random.key(8), (1, 17, 3, 32, 32))
+    full = vae.encode(params, video)
+    chunked = vae.encode(params, video, temporal_chunk=2)
+    assert chunked.shape == full.shape == (1, 5, vae.cfg.latent_channels, 4, 4)
+    err = np.abs(np.asarray(chunked) - np.asarray(full)).mean()
+    scale = np.abs(np.asarray(full)).mean() + 1e-6
+    assert err / scale < 0.5, (err, scale)
+    # the first chunk (global prefix, same stats window) matches closely
+    np.testing.assert_allclose(np.asarray(chunked[:, 0]), np.asarray(full[:, 0]),
+                               atol=np.abs(np.asarray(full)).max() * 0.5)
