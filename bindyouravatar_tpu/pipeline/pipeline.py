@@ -169,9 +169,18 @@ class BindYourAvatarPipeline:
 
         xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
               jnp.asarray(second))
-        (final, _, _), _ = jax.lax.scan(
-            step_fn, (latents, jnp.zeros_like(latents), key), xs)
-        return final
+
+        # jit the whole loop: without it the scan's param-tree reshapes run
+        # eagerly and copy the 11 GB stacked params (OOM on one chip);
+        # conditioning tensors are captured as jaxpr consts (one trace per
+        # denoise call)
+        @jax.jit
+        def run_loop(latents, key):
+            (final, _, _), _ = jax.lax.scan(
+                step_fn, (latents, jnp.zeros_like(latents), key), xs)
+            return final
+
+        return run_loop(latents, key)
 
     # ------------------------------------------------------------------ #
     def generate(
