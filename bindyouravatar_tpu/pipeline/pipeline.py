@@ -130,23 +130,24 @@ class BindYourAvatarPipeline:
         sched = self.schedule
         dit = self.dit
 
-        def step_fn(carry, xs):
+        def step_fn(carry, xs, *, params_, pe_, img_, bg_, idc_, vit_, af_,
+                    audio_, force_, mute_):
             lat, old_pred, k = carry
             t_cur, t_prev, t_bk, so = xs
             k, k_noise = jax.random.split(k)
 
             lat_in = jnp.concatenate([lat] * 2, axis=0)
-            chans = [lat_in, img_lat2]
-            if bg2 is not None:
-                chans.append(bg2)
+            chans = [lat_in, img_]
+            if bg_ is not None:
+                chans.append(bg_)
             model_in = jnp.concatenate(chans, axis=2)
 
             tvec = jnp.broadcast_to(t_cur.astype(jnp.float32), (2 * b,))
             noise_pred, _ = dit.apply(
-                dit_params, model_in, pe, tvec, rope,
-                id_cond=idc2, id_vit_hidden=vit2, audio_embeds=audio2,
-                mute_embeds=mute_embeds, af_matrix=af2,
-                routing_override=force2)
+                params_, model_in, pe_, tvec, rope,
+                id_cond=idc_, id_vit_hidden=vit_, audio_embeds=audio_,
+                mute_embeds=mute_, af_matrix=af_,
+                routing_override=force_)
             noise_pred = noise_pred.astype(jnp.float32)
             un, txt = jnp.split(noise_pred, 2, axis=0)
             if c.use_dynamic_cfg:
@@ -171,16 +172,21 @@ class BindYourAvatarPipeline:
               jnp.asarray(second))
 
         # jit the whole loop: without it the scan's param-tree reshapes run
-        # eagerly and copy the 11 GB stacked params (OOM on one chip);
-        # conditioning tensors are captured as jaxpr consts (one trace per
-        # denoise call)
-        @jax.jit
-        def run_loop(latents, key):
+        # eagerly and copy the 11 GB stacked params (OOM on one chip).
+        # Params/conditioning enter as explicit jit ARGS — capturing them as
+        # closure consts ships gigabytes through (remote) compilation.
+        def run_loop(params_, pe_, img_, bg_, idc_, vit_, af_, audio_,
+                     force_, mute_, latents, key):
+            body = functools.partial(
+                step_fn, params_=params_, pe_=pe_, img_=img_, bg_=bg_,
+                idc_=idc_, vit_=vit_, af_=af_, audio_=audio_, force_=force_,
+                mute_=mute_)
             (final, _, _), _ = jax.lax.scan(
-                step_fn, (latents, jnp.zeros_like(latents), key), xs)
+                body, (latents, jnp.zeros_like(latents), key), xs)
             return final
 
-        return run_loop(latents, key)
+        return jax.jit(run_loop)(dit_params, pe, img_lat2, bg2, idc2, vit2,
+                                 af2, audio2, force2, mute_embeds, latents, key)
 
     # ------------------------------------------------------------------ #
     def generate(
