@@ -166,7 +166,11 @@ class TrainDriver:
             start_step = int(jax.device_get(state.step))
             print(f"[resume] restored step {start_step}")
 
-        loader = PrefetchLoader(dataset, sampler, batch_size)
+        # one optimizer step consumes grad_accum_steps micro-batches
+        # (reference: accelerator.accumulate over successive loader batches,
+        # sft.sh accum 2) — the jitted step scans over them internally
+        loader = PrefetchLoader(dataset, sampler,
+                                batch_size * max(1, cfg.grad_accum_steps))
         step_fn = self.trainer.jit_train_step()
         rng_np = np.random.default_rng(cfg.seed + start_step)
         key = jax.random.key(cfg.seed)

@@ -232,14 +232,54 @@ class Trainer:
         return total, metrics
 
     # ------------------------------------------------------------------ #
+    def _grads_and_metrics(self, params, frozen, batch, rng):
+        """Gradients of the total loss, with accumulation over micro-batches.
+
+        Reference trains with `accelerator.accumulate`, accum 2 (`sft.sh`,
+        `train.py:1116`): here the incoming batch is the FULL effective batch
+        whose leading axis is `grad_accum_steps x micro`, and a `lax.scan`
+        over micro-batches accumulates mean gradients inside the jitted step
+        (same math, no inter-step optimizer bookkeeping needed)."""
+        accum = max(1, int(self.cfg.grad_accum_steps))
+
+        def loss_fn(tp, mb, r):
+            return self.loss_and_metrics(merge_params(tp, frozen), mb, r)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum == 1:
+            (_, metrics), grads = grad_fn(params, batch, rng)
+            return grads, metrics
+
+        statics = {k: v for k, v in batch.items()
+                   if v is None or k == "mute_embeds"}
+
+        def split(x):
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"batch size {x.shape[0]} not divisible by "
+                    f"grad_accum_steps={accum}")
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        micro = {k: split(v) for k, v in batch.items() if k not in statics}
+        rngs = jax.random.split(rng, accum)
+
+        first = {**jax.tree.map(lambda x: x[0], micro), **statics}
+        zero_shapes = jax.eval_shape(grad_fn, params, first, rngs[0])
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zero_shapes)
+
+        def body(carry, xs):
+            mb, r = xs
+            out = grad_fn(params, {**mb, **statics}, r)
+            return jax.tree.map(jnp.add, carry, out), None
+
+        ((_, m_sum), g_sum), _ = jax.lax.scan(body, zeros, (micro, rngs))
+        mean = lambda t: jax.tree.map(lambda x: x / accum, t)
+        return mean(g_sum), mean(m_sum)
+
     def train_step(self, state: TrainState, frozen: Dict[str, Any],
                    batch: Dict[str, Any], rng: jax.Array):
         tx = make_optimizer(self.cfg)
-
-        def loss_fn(tp):
-            return self.loss_and_metrics(merge_params(tp, frozen), batch, rng)
-
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads, metrics = self._grads_and_metrics(state.params, frozen, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         ema = state.ema_params

@@ -221,3 +221,51 @@ def test_adafactor_option():
     s = tx.init(p)
     u, _ = tx.update(jax.tree.map(jnp.ones_like, p), s, p)
     assert np.all(np.isfinite(np.asarray(u["w"])))
+
+
+def test_grad_accum_equals_mean_of_microbatch_grads(trainer_setup):
+    """grad_accum_steps=2 over a [2b] batch == mean of the two half-batch
+    gradients computed with the same per-micro rngs (reference trains with
+    accelerator.accumulate, accum 2 — sft.sh, train.py:1116)."""
+    import dataclasses
+
+    tr, _ = trainer_setup
+    from bindyouravatar_tpu.training.trainer import partition_params
+
+    # fresh params: earlier tests donate the fixture's buffers
+    trainable, frozen = partition_params(tr.dit.init(jax.random.key(0)))
+    batch = _batch(tr.dit, b=2)
+    rng = jax.random.key(3)
+
+    tr2 = dataclasses.replace(tr, cfg=dataclasses.replace(tr.cfg, grad_accum_steps=2))
+    tr1 = dataclasses.replace(tr, cfg=dataclasses.replace(tr.cfg, grad_accum_steps=1))
+
+    g2, m2 = jax.jit(tr2._grads_and_metrics)(trainable, frozen, batch, rng)
+
+    rs = jax.random.split(rng, 2)
+    halves = [jax.tree.map(lambda x, i=i: x[i:i + 1], batch) for i in range(2)]
+    g1a, m1a = jax.jit(tr1._grads_and_metrics)(trainable, frozen, halves[0], rs[0])
+    g1b, m1b = jax.jit(tr1._grads_and_metrics)(trainable, frozen, halves[1], rs[1])
+    expect = jax.tree.map(lambda a, b: (a + b) / 2, g1a, g1b)
+
+    flat_got = jax.tree.leaves(g2)
+    flat_want = jax.tree.leaves(expect)
+    for got, want in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m2["loss"]),
+                               (float(m1a["loss"]) + float(m1b["loss"])) / 2,
+                               rtol=1e-5)
+
+
+def test_grad_accum_rejects_indivisible_batch(trainer_setup):
+    import dataclasses
+
+    tr, _ = trainer_setup
+    from bindyouravatar_tpu.training.trainer import partition_params
+
+    trainable, frozen = partition_params(tr.dit.init(jax.random.key(0)))
+    tr3 = dataclasses.replace(tr, cfg=dataclasses.replace(tr.cfg, grad_accum_steps=3))
+    with pytest.raises(ValueError, match="not divisible"):
+        tr3._grads_and_metrics(trainable, frozen, _batch(tr.dit, b=2),
+                               jax.random.key(0))

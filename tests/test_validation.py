@@ -40,7 +40,8 @@ def test_validation_fn_writes_video(tmp_path):
 def test_ema_updates():
     dit = DiT.tiny(lora_rank=2, in_channels=8, out_channels=4)
     cfg = TrainConfig(ema_decay=0.5, lr_warmup_steps=1, max_train_steps=4,
-                      learning_rate=1e-2, index_mask_drop_prob=0.0)
+                      learning_rate=1e-2, index_mask_drop_prob=0.0,
+                      grad_accum_steps=1)   # single-sample batch
     tr = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()), cfg=cfg)
     params = dit.init(jax.random.key(0))
     state, frozen = tr.init_state(params)
