@@ -248,6 +248,10 @@ class PipelineConfig:
     base_height: int = 480              # RoPE crop base
     base_width: int = 720
     zero2cond_cfg: bool = False
+    # run the uncond/cond CFG halves as two sequential forwards instead of
+    # one batch-2 forward: same FLOPs, half the activation HBM — the single-
+    # chip (16 GB) serving mode for the 13.4 GB conditioned flagship
+    cfg_microbatch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

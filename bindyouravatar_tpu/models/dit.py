@@ -229,6 +229,60 @@ class DiT:
             c.attention_head_dim, crops, (gh, gw), latent_frames)
 
     # ------------------------------------------------------------------ #
+    def _face_emb(self, params, id_cond, id_vit_hidden):
+        c = self.cfg
+        m = self._modules()
+        b = id_cond.shape[0]
+        n = b * c.num_ids
+        face_flat = m["lfe"].apply(
+            {"params": params["lfe"]},
+            id_cond.reshape(n, -1).astype(c.dtype),
+            id_vit_hidden.reshape((n,) + id_vit_hidden.shape[2:]).astype(c.dtype))
+        return face_flat.reshape(b, c.num_ids, c.lfe_num_tokens, -1)
+
+    def _audio_ctx(self, params, audio_embeds, mute_embeds, num_pixel_frames,
+                   deterministic, rngs):
+        c = self.cfg
+        m = self._modules()
+        a_rngs = None if rngs is None else {"dropout": rngs["dropout"]}
+        return m["audio_statics"].apply(
+            {"params": params["audio_statics"]}, audio_embeds.astype(c.dtype),
+            num_pixel_frames, mute_embeds, deterministic, rngs=a_rngs)
+
+    def prepare_conditioning(
+        self,
+        params: Params,
+        *,
+        id_cond: Optional[jnp.ndarray] = None,        # [B, I, 1280]
+        id_vit_hidden: Optional[jnp.ndarray] = None,  # [B, I, 5, 577, 1024]
+        audio_embeds: Optional[jnp.ndarray] = None,   # [B, tracks, A, 12, 768]
+        mute_embeds: Optional[jnp.ndarray] = None,    # [A, 12, 768]
+        num_pixel_frames: Optional[int] = None,
+        deterministic: bool = True,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Precompute (face_emb [B,I,32,2048], audio_ctx [B,I,F,32,768]).
+
+        These depend only on the conditioning inputs — not on latents or the
+        timestep — so callers compute them ONCE per clip and pass them to
+        `apply` for every denoise step.  (The reference recomputes the LFE
+        and the audio window projection inside every forward,
+        `transformer.py:635-676` — 50 steps x CFG 2 of redundant work, and
+        the 1.2B-param audio downsample conv has to stay HBM-resident.)
+        """
+        c = self.cfg
+        face_emb = None
+        if c.is_train_face and id_cond is not None:
+            face_emb = self._face_emb(params, id_cond, id_vit_hidden)
+        audio_ctx = None
+        if c.is_train_audio and audio_embeds is not None:
+            if num_pixel_frames is None:
+                num_pixel_frames = c.sample_frames
+            audio_ctx = self._audio_ctx(params, audio_embeds, mute_embeds,
+                                        num_pixel_frames, deterministic, rngs)
+        return face_emb, audio_ctx
+
+    # ------------------------------------------------------------------ #
     def apply(
         self,
         params: Params,
@@ -246,6 +300,8 @@ class DiT:
         num_pixel_frames: Optional[int] = None,
         deterministic: bool = True,
         rngs: Optional[Dict[str, jax.Array]] = None,
+        face_emb: Optional[jnp.ndarray] = None,       # [B, I, 32, 2048] precomputed
+        audio_ctx: Optional[jnp.ndarray] = None,      # [B, I, F, 32, 768] precomputed
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """One denoise step.  Returns (output [B,T,C_out,H,W],
         routing_logits [num_ca, B, S, I] or None)."""
@@ -273,24 +329,14 @@ class DiT:
             x = x + pe.astype(x.dtype)
         enc, hid = x[:, :text_len], x[:, text_len:]
 
-        # 3. conditioning prep (once per forward)
-        face_emb = None
-        if c.is_train_face and id_cond is not None:
-            n = b * c.num_ids
-            face_flat = m["lfe"].apply(
-                {"params": params["lfe"]},
-                id_cond.reshape(n, -1).astype(c.dtype),
-                id_vit_hidden.reshape((n,) + id_vit_hidden.shape[2:]).astype(c.dtype))
-            face_emb = face_flat.reshape(b, c.num_ids, c.lfe_num_tokens, -1)
-
-        audio_ctx = None
-        if c.is_train_audio and audio_embeds is not None:
-            a_rngs = None if rngs is None else {"dropout": rngs["dropout"]}
-            audio_ctx = m["audio_statics"].apply(
-                {"params": params["audio_statics"]}, audio_embeds.astype(c.dtype),
-                num_pixel_frames, mute_embeds, deterministic, rngs=a_rngs)
-            if af_matrix is None:
-                af_matrix = jnp.eye(c.num_ids, dtype=c.dtype)[None].repeat(b, 0)
+        # 3. conditioning prep (unless precomputed via `prepare_conditioning`)
+        if face_emb is None and c.is_train_face and id_cond is not None:
+            face_emb = self._face_emb(params, id_cond, id_vit_hidden)
+        if audio_ctx is None and c.is_train_audio and audio_embeds is not None:
+            audio_ctx = self._audio_ctx(params, audio_embeds, mute_embeds,
+                                        num_pixel_frames, deterministic, rngs)
+        if audio_ctx is not None and af_matrix is None:
+            af_matrix = jnp.eye(c.num_ids, dtype=c.dtype)[None].repeat(b, 0)
 
         # 4. scan over layer groups
         g = c.group_size

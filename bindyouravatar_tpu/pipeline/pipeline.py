@@ -51,6 +51,13 @@ class BindYourAvatarPipeline:
     vae: CausalVAE
     schedule: Schedule
     cfg: PipelineConfig = PipelineConfig()
+    # compiled denoise loops keyed by (steps, guidance); jax.jit's own cache
+    # handles shape/structure changes under each key.  Without this every
+    # `denoise` call re-wraps `jax.jit(run_loop)` and recompiles the full
+    # 42-layer graph (4-7 min) — the reference reuses one module across the
+    # 50-step loop and across batch samples (`tools/batch_run_samples.py`).
+    _loop_cache: Dict[Any, Any] = dataclasses.field(
+        default_factory=dict, compare=False, repr=False)
 
     @classmethod
     def create(cls, dit: DiT, vae: CausalVAE,
@@ -108,7 +115,9 @@ class BindYourAvatarPipeline:
         rope = self.dit.rope(h_lat * 8, w_lat * 8, t_lat,
                              base_height_px=c.base_height, base_width_px=c.base_width)
 
-        # CFG doubling of conditioning (reference :877-884 + cfg helpers)
+        # CFG doubling of conditioning (reference :877-884 + cfg helpers).
+        # Raw inputs are doubled BEFORE the context precompute so the uncond
+        # half sees zeroed *inputs* (LFE/audio-proj of zeros != zeros).
         pe = prompt_embeds
         img_lat2 = cfg_double(image_latents, zero2cond)
         bg2 = (jnp.concatenate([bg_latents] * 2, axis=0)
@@ -122,34 +131,94 @@ class BindYourAvatarPipeline:
         if force2 is not None:
             force2 = temporal_or_routing(force2, self.dit.cfg.latent_grid)
 
+        # conditioning context ONCE per clip, outside the 50-step loop
+        # (the reference recomputes LFE + the 1.2B-param audio downsample in
+        # every forward, `transformer.py:635-676`)
+        face2, actx2 = self.jit_prepare_conditioning()(
+            dit_params, idc2, vit2, audio2, mute_embeds)
+        if actx2 is not None and af2 is None:
+            af2 = jnp.eye(self.dit.cfg.num_ids)[None].repeat(2 * b, 0)
+
         key, k_init = jax.random.split(key)
         if latents is None:
             latents = jax.random.normal(
                 k_init, (b, t_lat, ch, h_lat, w_lat), jnp.float32)
 
+        xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
+              jnp.asarray(second))
+        run_loop = self._jitted_loop(steps, float(guidance))
+        return run_loop(dit_params, pe, img_lat2, bg2, face2, actx2,
+                        af2, force2, rope, xs, latents, key)
+
+    # ------------------------------------------------------------------ #
+    def jit_prepare_conditioning(self):
+        """Cached jit of `DiT.prepare_conditioning` (None args are static)."""
+        if "prep" not in self._loop_cache:
+            def prep(params_, idc_, vit_, audio_, mute_):
+                return self.dit.prepare_conditioning(
+                    params_, id_cond=idc_, id_vit_hidden=vit_,
+                    audio_embeds=audio_, mute_embeds=mute_,
+                    num_pixel_frames=self.cfg.num_frames)
+            self._loop_cache["prep"] = jax.jit(prep)
+        return self._loop_cache["prep"]
+
+    def _jitted_loop(self, steps: int, guidance: float):
+        """Build (or fetch) the compiled CFG denoise loop for a given step
+        count + guidance scale.  Everything tensor-valued enters as a jit ARG
+        — capturing params as closure consts ships gigabytes through the
+        (remote) compiler, and without jit the scan's param-tree reshapes run
+        eagerly and copy the 11 GB stacked params (OOM on one chip)."""
+        c = self.cfg
+        # key includes every config value baked into the closure — instances
+        # made via dataclasses.replace(pipe, cfg=...) share the cache dict
+        cache_key = (steps, guidance, c.scheduler_type, c.use_dynamic_cfg,
+                     c.cfg_microbatch)
+        if cache_key in self._loop_cache:
+            return self._loop_cache[cache_key]
         sched = self.schedule
         dit = self.dit
 
-        def step_fn(carry, xs, *, params_, pe_, img_, bg_, idc_, vit_, af_,
-                    audio_, force_, mute_):
+        def step_fn(carry, xs, *, params_, pe_, img_, bg_, face_, actx_,
+                    af_, force_, rope_):
             lat, old_pred, k = carry
             t_cur, t_prev, t_bk, so = xs
             k, k_noise = jax.random.split(k)
 
-            lat_in = jnp.concatenate([lat] * 2, axis=0)
-            chans = [lat_in, img_]
-            if bg_ is not None:
-                chans.append(bg_)
-            model_in = jnp.concatenate(chans, axis=2)
+            b_ = lat.shape[0]
 
-            tvec = jnp.broadcast_to(t_cur.astype(jnp.float32), (2 * b,))
-            noise_pred, _ = dit.apply(
-                params_, model_in, pe_, tvec, rope,
-                id_cond=idc_, id_vit_hidden=vit_, audio_embeds=audio_,
-                mute_embeds=mute_, af_matrix=af_,
-                routing_override=force_)
-            noise_pred = noise_pred.astype(jnp.float32)
-            un, txt = jnp.split(noise_pred, 2, axis=0)
+            def fwd(half):
+                """One CFG half (0 = uncond, 1 = cond) at batch b."""
+                sel = lambda x: (None if x is None
+                                 else x[half * b_:(half + 1) * b_])
+                chans = [lat, sel(img_)]
+                if bg_ is not None:
+                    chans.append(sel(bg_))
+                model_in = jnp.concatenate(chans, axis=2)
+                tvec = jnp.broadcast_to(t_cur.astype(jnp.float32), (b_,))
+                pred, _ = dit.apply(
+                    params_, model_in, sel(pe_), tvec, rope_,
+                    face_emb=sel(face_), audio_ctx=sel(actx_),
+                    af_matrix=sel(af_), routing_override=sel(force_))
+                return pred.astype(jnp.float32)
+
+            if c.cfg_microbatch:
+                # two sequential batch-b forwards: same math as the CFG
+                # batch-of-2, half the activation HBM (single-chip mode)
+                un, txt = fwd(0), fwd(1)
+            else:
+                lat_in = jnp.concatenate([lat] * 2, axis=0)
+                chans = [lat_in, img_]
+                if bg_ is not None:
+                    chans.append(bg_)
+                model_in = jnp.concatenate(chans, axis=2)
+                tvec = jnp.broadcast_to(t_cur.astype(jnp.float32),
+                                        (model_in.shape[0],))
+                noise_pred, _ = dit.apply(
+                    params_, model_in, pe_, tvec, rope_,
+                    face_emb=face_, audio_ctx=actx_, af_matrix=af_,
+                    routing_override=force_)
+                noise_pred = noise_pred.astype(jnp.float32)
+                un, txt = jnp.split(noise_pred, 2, axis=0)
             if c.use_dynamic_cfg:
                 # reference formula verbatim (pipeline:927-930) — note it
                 # mixes timestep VALUE with step count, as shipped
@@ -168,25 +237,18 @@ class BindYourAvatarPipeline:
                                                   t_prev, lat, so, noise)
             return (new_lat, x0, k), None
 
-        xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
-              jnp.asarray(second))
-
-        # jit the whole loop: without it the scan's param-tree reshapes run
-        # eagerly and copy the 11 GB stacked params (OOM on one chip).
-        # Params/conditioning enter as explicit jit ARGS — capturing them as
-        # closure consts ships gigabytes through (remote) compilation.
-        def run_loop(params_, pe_, img_, bg_, idc_, vit_, af_, audio_,
-                     force_, mute_, latents, key):
+        def run_loop(params_, pe_, img_, bg_, face_, actx_, af_, force_,
+                     rope_, xs_, latents, key):
             body = functools.partial(
                 step_fn, params_=params_, pe_=pe_, img_=img_, bg_=bg_,
-                idc_=idc_, vit_=vit_, af_=af_, audio_=audio_, force_=force_,
-                mute_=mute_)
+                face_=face_, actx_=actx_, af_=af_, force_=force_, rope_=rope_)
             (final, _, _), _ = jax.lax.scan(
-                body, (latents, jnp.zeros_like(latents), key), xs)
+                body, (latents, jnp.zeros_like(latents), key), xs_)
             return final
 
-        return jax.jit(run_loop)(dit_params, pe, img_lat2, bg2, idc2, vit2,
-                                 af2, audio2, force2, mute_embeds, latents, key)
+        fn = jax.jit(run_loop)
+        self._loop_cache[cache_key] = fn
+        return fn
 
     # ------------------------------------------------------------------ #
     def generate(

@@ -185,3 +185,64 @@ def test_ddim_scheduler_path(setup):
     assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-5
     l_dpm = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5))
     assert np.abs(np.asarray(l1) - np.asarray(l_dpm)).max() > 1e-5
+
+
+def test_denoise_loop_compiled_once(setup):
+    """Repeat `denoise` calls with identical shapes reuse ONE compiled loop
+    (the reference reuses the module across samples,
+    `tools/batch_run_samples.py:45-86`; round-1 re-jitted per call)."""
+    import time
+
+    pipe, params = setup
+    c = pipe.dit.cfg
+    prompt = jax.random.normal(jax.random.key(2), (2, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    img_lat = jax.random.normal(jax.random.key(3),
+                                (1, c.latent_frames, 4, c.sample_height,
+                                 c.sample_width))
+    assert pipe._jitted_loop(4, 6.0) is pipe._jitted_loop(4, 6.0)
+
+    t0 = time.perf_counter()
+    l1 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(5))
+    jax.block_until_ready(l1)
+    first = time.perf_counter() - t0
+
+    loop = pipe._jitted_loop(4, pipe.cfg.guidance_scale)
+    misses0 = loop._cache_size()
+    t0 = time.perf_counter()
+    l2 = pipe.denoise(params["dit"], prompt, img_lat, jax.random.key(9))
+    jax.block_until_ready(l2)
+    second = time.perf_counter() - t0
+    assert loop._cache_size() == misses0      # no new trace/compile
+    assert second < max(1.0, first / 2)
+
+
+def test_denoise_precomputed_ctx_matches_inline(setup):
+    """Hoisting LFE/audio prep out of the step (prepare_conditioning) is
+    bit-identical to computing it inside `apply` (reference recomputes
+    per forward, transformer.py:635-676)."""
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    cond = _cond(dit)
+    b = 1
+    lat = jax.random.normal(jax.random.key(1),
+                            (b, c.latent_frames, c.in_channels,
+                             c.sample_height, c.sample_width))
+    text = jax.random.normal(jax.random.key(2),
+                             (b, c.max_text_seq_length, c.text_embed_dim))
+    ts = jnp.full((b,), 500.0)
+    rope = dit.rope(c.sample_height * 8, c.sample_width * 8, c.latent_frames)
+
+    out_inline, r_inline = dit.apply(params["dit"], lat, text, ts, rope, **cond)
+
+    face, actx = dit.prepare_conditioning(
+        params["dit"], id_cond=cond["id_cond"],
+        id_vit_hidden=cond["id_vit_hidden"], audio_embeds=cond["audio_embeds"])
+    out_pre, r_pre = dit.apply(params["dit"], lat, text, ts, rope,
+                               face_emb=face, audio_ctx=actx,
+                               af_matrix=cond["af_matrix"])
+    np.testing.assert_allclose(np.asarray(out_inline), np.asarray(out_pre),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_inline), np.asarray(r_pre),
+                               rtol=1e-6, atol=1e-6)
