@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention, sdpa
-from ..ops.rope import apply_rotary_emb
 
 
 class LayerNorm(nn.Module):
@@ -132,6 +131,16 @@ class JointSelfAttention(nn.Module):
     def __call__(self, hidden, encoder_hidden, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
         text_len = encoder_hidden.shape[1]
         x = jnp.concatenate([encoder_hidden, hidden], axis=1)  # [B, L+S, D]
+        s_real = x.shape[1]
+        # pad the joint sequence to the flash block multiple BEFORE the qkv
+        # projection: q/k/v are then born padded and the kernel needs no
+        # separate pad copies (3 x 432 MB of HBM temps at 17,776 tokens)
+        if self.use_flash and s_real >= 1024:
+            from ..ops.flash_attention import _round_up
+
+            s_pad = _round_up(s_real, 2048)
+            if s_pad != s_real:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
         b, s, _ = x.shape
         inner = self.heads * self.head_dim
 
@@ -158,19 +167,12 @@ class JointSelfAttention(nn.Module):
             q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
             k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
 
-        q = q.transpose(0, 2, 1, 3)  # [B, H, S, Dh]
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-
-        if rope is not None:
-            cos, sin = rope
-            q = jnp.concatenate(
-                [q[:, :, :text_len], apply_rotary_emb(q[:, :, text_len:], cos, sin)], axis=2)
-            k = jnp.concatenate(
-                [k[:, :, :text_len], apply_rotary_emb(k[:, :, text_len:], cos, sin)], axis=2)
-
-        o = attention(q, k, v, use_flash=self.use_flash)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        # stay in [B, S, H, Dh] — the kernel consumes the projections'
+        # natural layout, so no [B,H,S,D] transpose ever hits HBM; RoPE is
+        # fused into the kernel too (each costs GBs of padded temps/step)
+        o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
+                      rope=rope, rope_start=text_len, layout="bshd")
+        o = o[:, :s_real].reshape(b, s_real, inner)
         o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_out")(o)
         return o[:, text_len:], o[:, :text_len]

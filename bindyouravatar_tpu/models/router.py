@@ -77,7 +77,12 @@ class PerceiverCrossAttention(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Plain MHA (diffusers `Attention` with bias, as used by STAB)."""
+    """MHA (diffusers `Attention` with bias, as used by STAB).
+
+    Long sequences (the STAB spatial attention over H*W=1350 tokens x 52
+    batch rows) go through the flash dispatcher — the naive fp32 score
+    tensor is 2.95 GB of HBM temp per step (measured) — short ones use SDPA.
+    """
     dim: int
     heads: int = 8
     bias: bool = True
@@ -86,6 +91,8 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.attention import attention
+
         b, s, _ = x.shape
         dh = self.dim // self.heads
         dense = lambda name, d=self.dim: nn.Dense(
@@ -94,10 +101,8 @@ class SelfAttention(nn.Module):
         q = dense("to_q")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
         k = dense("to_k")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
         v = dense("to_v")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
-        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
-        p = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        use_flash = dh % 64 == 0   # Mosaic lane width; tiny test dims -> SDPA
+        o = attention(q, k, v, use_flash=use_flash)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(o)

@@ -49,14 +49,35 @@ def attention(
     scale: Optional[float] = None,
     use_flash: bool = True,
     kv_len: Optional[int] = None,
+    rope=None,
+    rope_start: int = 0,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """Self/cross attention over [B, H, S, D] tensors.
+    """Self/cross attention over [B, H, S, D] (or [B, S, H, D]) tensors.
 
     Dispatches to the Pallas flash kernel when `use_flash` and the shape is
-    worth it (long sequences on TPU); otherwise XLA SDPA.
+    worth it (long sequences on TPU); otherwise XLA SDPA.  `rope`/`rope_start`
+    fuse the rotary embedding into the kernel (or apply it here on the
+    fallback path) — see `flash_attention`.
     """
-    if use_flash and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]:
+    seq_axis = 1 if layout == "bshd" else 2
+    if (use_flash and q.shape[seq_axis] >= 1024
+            and q.shape[seq_axis] == k.shape[seq_axis]):
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale, kv_len=kv_len)
-    return sdpa(q, k, v, scale=scale, kv_len=kv_len)
+        return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
+                               rope=rope, rope_start=rope_start, layout=layout)
+    if layout == "bshd":
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    if rope is not None:
+        from .rope import apply_rotary_emb
+
+        cos, sin = rope
+        end = rope_start + cos.shape[0]   # rows past the table: caller padding
+        rot = lambda x: jnp.concatenate(
+            [x[..., :rope_start, :],
+             apply_rotary_emb(x[..., rope_start:end, :], cos, sin),
+             x[..., end:, :]], axis=-2)
+        q, k = rot(q), rot(k)
+    out = sdpa(q, k, v, scale=scale, kv_len=kv_len)
+    return out.transpose(0, 2, 1, 3) if layout == "bshd" else out

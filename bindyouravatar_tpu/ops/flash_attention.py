@@ -4,17 +4,26 @@ Forward: tiled online-softmax kernel (fp32 statistics, bf16 matmul inputs),
 non-causal, with trailing-padding kv masking — the DiT's 17,776-token joint
 sequence is padded to a block multiple and the pad masked in-kernel.
 
-Backward: chunked flash-style recompute in plain JAX under `jax.custom_vjp`
-(correct and HBM-safe; a Pallas dKV/dQ kernel pair is the planned upgrade).
+RoPE fusion: the rotate-half rotary embedding is applied to q/k TILES inside
+the kernel (text positions get identity rows cos=1/sin=0).  Without fusion,
+rotating [B, 48, 17776, 64] q and k in HBM materialises ~3.3 GB of 2-4x
+pad-expanded temporaries per step (measured via the XLA HBM dump) and burns
+bandwidth the kernel re-reads anyway.  The backward pass recomputes the
+rotation per tile and back-rotates the accumulated dq/dk with the adjoint
+R^T = rope(cos, -sin) before storing.
+
+Backward: Pallas dKV and dQ kernels under `jax.custom_vjp` (a chunked plain
+JAX recompute path is kept for reference/debug).
 
 Replaces the reference's torch SDPA flash attention (the #1 hot spot,
-SURVEY.md §2.9).
+SURVEY.md §2.9); RoPE application semantics follow diffusers
+`apply_rotary_emb` as wired at reference `models/transformer.py:200-208`.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +34,36 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
-                need_mask: bool, save_residuals: bool):
+def _rope_tile(x, cos, sin):
+    """Rotate-half RoPE on a [rows, d] tile (fp32 math, returns x.dtype).
+
+    rope(x) = x*cos + rot(x)*sin with rot(x) = concat(-x2, x1); the adjoint
+    is rope(g, cos, -sin).
+    """
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    rot = jnp.concatenate([-xf[:, d // 2:], xf[:, : d // 2]], axis=-1)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
+def _tile(ref, bshd: bool):
+    """Read a [rows, d] tile from a [1,1,rows,d] (bhsd) or [1,rows,1,d]
+    (bshd) block."""
+    return ref[0, :, 0, :] if bshd else ref[0, 0]
+
+
+def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+                num_kv_blocks: int, need_mask: bool, save_residuals: bool,
+                has_rope: bool, bshd: bool):
+    if has_rope:
+        q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, *rest = refs
+    else:
+        q_ref, k_ref, v_ref, *rest = refs
+    if save_residuals:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -36,8 +72,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # [bq, d]
-    k = k_ref[0, 0]  # [bk, d]
+    q = _tile(q_ref, bshd)  # [bq, d]
+    k = _tile(k_ref, bshd)  # [bk, d]
+    if has_rope:
+        q = _rope_tile(q, cq_ref[...], sq_ref[...])
+        k = _rope_tile(k, ck_ref[...], sk_ref[...])
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
@@ -60,7 +99,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-    v = v_ref[0, 0]                            # [bk, d]
+    v = _tile(v_ref, bshd)                     # [bk, d]
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -71,7 +110,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     def _store():
         l_fin = l_ref[:, :1]
         inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, 0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+        out = (acc_ref[...] * inv).astype(o_ref.dtype)
+        if bshd:
+            o_ref[0, :, 0, :] = out
+        else:
+            o_ref[0, 0] = out
         if save_residuals:
             # LSE per row; all-masked (padded-q) rows get +BIG so the
             # backward recompute yields p = exp(s - BIG) = 0
@@ -80,53 +123,97 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _fwd_kernel_nores(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, **kw):
-    """Forward without the residual output (inference path)."""
-    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None, m_ref, l_ref, acc_ref,
-                save_residuals=False, **kw)
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
+def _pad_rope(rope, s_pad: int):
+    """Pad joint-length [S, d] fp32 tables to s_pad with identity rows."""
+    cos, sin = rope
+    extra = s_pad - cos.shape[0]
+    if extra > 0:
+        cos = jnp.concatenate(
+            [cos, jnp.ones((extra, cos.shape[1]), jnp.float32)], axis=0)
+        sin = jnp.concatenate(
+            [sin, jnp.zeros((extra, sin.shape[1]), jnp.float32)], axis=0)
+    return cos, sin
+
+
+def _specs(block_q, block_k, d, bshd, kv_grid_order=False):
+    """(q/o, kv, lse) BlockSpecs for [B,H,S,D] (bhsd) or [B,S,H,D] (bshd).
+
+    `kv_grid_order`: grid is (b, h, ik, iq) (the dkv kernel) instead of
+    (b, h, iq, ik).
+    """
+    if kv_grid_order:
+        qi = lambda b_, h_, ik, iq: ((b_, iq, h_, 0) if bshd else (b_, h_, iq, 0))
+        ki = lambda b_, h_, ik, iq: ((b_, ik, h_, 0) if bshd else (b_, h_, ik, 0))
+        li = lambda b_, h_, ik, iq: (b_, h_, iq, 0)
+        rq = lambda b_, h_, ik, iq: (iq, 0)
+        rk = lambda b_, h_, ik, iq: (ik, 0)
+    else:
+        qi = lambda b_, h_, iq, ik: ((b_, iq, h_, 0) if bshd else (b_, h_, iq, 0))
+        ki = lambda b_, h_, iq, ik: ((b_, ik, h_, 0) if bshd else (b_, h_, ik, 0))
+        li = lambda b_, h_, iq, ik: (b_, h_, iq, 0)
+        rq = lambda b_, h_, iq, ik: (iq, 0)
+        rk = lambda b_, h_, iq, ik: (ik, 0)
+    qshape = (1, block_q, 1, d) if bshd else (1, 1, block_q, d)
+    kshape = (1, block_k, 1, d) if bshd else (1, 1, block_k, d)
+    return (pl.BlockSpec(qshape, qi), pl.BlockSpec(kshape, ki),
+            pl.BlockSpec((1, 1, block_q, LANES), li),
+            pl.BlockSpec((block_q, d), rq), pl.BlockSpec((block_k, d), rk))
+
+
+def _pad_seq(arrs, s_pad, bshd):
+    axis = 1 if bshd else 2
+    out = []
+    for x in arrs:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, s_pad - x.shape[axis])
+        out.append(jnp.pad(x, pad))
+    return out
+
+
+def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
               block_q: int, block_k: int, interpret: bool,
-              save_residuals: bool = False):
-    b, h, s, d = q.shape
+              save_residuals: bool = False, bshd: bool = False):
+    if bshd:
+        b, s, h, d = q.shape
+    else:
+        b, h, s, d = q.shape
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        q, k, v = _pad_seq((q, k, v), s_pad, bshd)
     nq = s_pad // block_q
     nk = s_pad // block_k
+    has_rope = rope is not None
 
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < s_pad,
-        save_residuals=save_residuals)
+        save_residuals=save_residuals, has_rope=has_rope, bshd=bshd)
 
-    qo_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
-    lse_spec = pl.BlockSpec((1, 1, block_q, LANES),
-                            lambda b_, h_, iq, ik: (b_, h_, iq, 0))
-    out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)]
+    qo_spec, kv_spec, lse_spec, rq_spec, rk_spec = _specs(
+        block_q, block_k, d, bshd)
+    in_specs = [qo_spec, kv_spec, kv_spec]
+    inputs = [q, k, v]
+    if has_rope:
+        cos, sin = _pad_rope(rope, s_pad)
+        in_specs += [rq_spec, rq_spec, rk_spec, rk_spec]
+        inputs += [cos, sin, cos, sin]
+
+    oshape = (b, s_pad, h, d) if bshd else (b, h, s_pad, d)
+    out_shapes = [jax.ShapeDtypeStruct(oshape, q.dtype)]
     out_specs = [qo_spec]
     if save_residuals:   # lse output costs VMEM — only when training needs it
         out_shapes.append(jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32))
         out_specs.append(lse_spec)
-    else:
-        kernel = functools.partial(_fwd_kernel_nores, sm_scale=sm_scale,
-                                   kv_len=kv_len, block_k=block_k,
-                                   num_kv_blocks=nk, need_mask=kv_len < s_pad)
 
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=(b, h, nq, nk),
-        in_specs=[qo_spec, kv_spec, kv_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # m
@@ -137,21 +224,27 @@ def _fwd_impl(q, k, v, sm_scale: float, kv_len: int,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
+    clip = (lambda x: x[:, :s]) if bshd else (lambda x: x[:, :, :s, :])
     if save_residuals:
         out, lse = res
-        return out[:, :, :s, :], lse
-    return res[0][:, :, :s, :]
+        return clip(out), lse
+    return clip(res[0])
 
 
 # --------------------------------------------------------------------------
 # Pallas backward kernels (dkv and dq)
 # --------------------------------------------------------------------------
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc,
-                *, sm_scale: float, kv_len: int, block_k: int,
-                num_q_blocks: int, need_mask: bool):
+def _dkv_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+                num_q_blocks: int, need_mask: bool, has_rope: bool,
+                bshd: bool):
+    if has_rope:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         cq_ref, sq_ref, ck_ref, sk_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
     iq = pl.program_id(3)
     ik = pl.program_id(2)
 
@@ -160,12 +253,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    o = o_ref[0, 0]
+    q = _tile(q_ref, bshd)
+    k = _tile(k_ref, bshd)
+    v = _tile(v_ref, bshd)
+    do = _tile(do_ref, bshd)
+    o = _tile(o_ref, bshd)
     lse = lse_ref[0, 0][:, :1]                     # [bq, 1]
+    if has_rope:
+        q = _rope_tile(q, cq_ref[...], sq_ref[...])
+        k = _rope_tile(k, ck_ref[...], sk_ref[...])
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
@@ -184,33 +280,47 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta) * sm_scale               # [bq, bk]
-    # dk += ds^T @ q
+    # dk_rot += ds^T @ q_rot
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        dk = dk_acc[...]
+        if has_rope:   # adjoint of the rotation: R^T = rope(cos, -sin)
+            dk = _rope_tile(dk, ck_ref[...], -sk_ref[...])
+        if bshd:
+            dk_ref[0, :, 0, :] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, 0, :] = dv_acc[...].astype(dv_ref.dtype)
+        else:
+            dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-               dq_ref, dq_acc,
-               *, sm_scale: float, kv_len: int, block_k: int,
-               num_kv_blocks: int, need_mask: bool):
+def _dq_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+               num_kv_blocks: int, need_mask: bool, has_rope: bool,
+               bshd: bool):
+    if has_rope:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         cq_ref, sq_ref, ck_ref, sk_ref, dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, dq_acc) = refs
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    o = o_ref[0, 0]
+    q = _tile(q_ref, bshd)
+    k = _tile(k_ref, bshd)
+    v = _tile(v_ref, bshd)
+    do = _tile(do_ref, bshd)
+    o = _tile(o_ref, bshd)
     lse = lse_ref[0, 0][:, :1]
+    if has_rope:
+        q = _rope_tile(q, cq_ref[...], sq_ref[...])
+        k = _rope_tile(k, ck_ref[...], sk_ref[...])
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
@@ -229,65 +339,86 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     @pl.when(ik == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+        dq = dq_acc[...]
+        if has_rope:
+            dq = _rope_tile(dq, cq_ref[...], -sq_ref[...])
+        if bshd:
+            dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+        else:
+            dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_impl(q, k, v, o, lse, do, sm_scale: float, kv_len: int,
-              block_q: int, block_k: int, interpret: bool):
-    b, h, s, d = q.shape
+def _bwd_impl(q, k, v, o, lse, do, rope, sm_scale: float, kv_len: int,
+              block_q: int, block_k: int, interpret: bool,
+              bshd: bool = False):
+    if bshd:
+        b, s, h, d = q.shape
+    else:
+        b, h, s, d = q.shape
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-        q, k, v, o, do = (jnp.pad(x, pad) for x in (q, k, v, o, do))
+        q, k, v, o, do = _pad_seq((q, k, v, o, do), s_pad, bshd)
         # lse already padded to s_pad by the forward
     nq = s_pad // block_q
     nk = s_pad // block_k
     need_mask = kv_len < s_pad
+    has_rope = rope is not None
+    if has_rope:
+        cos, sin = _pad_rope(rope, s_pad)
+    grad_shape = (b, s_pad, h, d) if bshd else (b, h, s_pad, d)
 
-    q_spec_kv = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
-    kv_spec_kv = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, ik, iq: (b_, h_, ik, 0))
-    lse_spec_kv = pl.BlockSpec((1, 1, block_q, LANES),
-                               lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+    q_spec_kv, kv_spec_kv, lse_spec_kv, rq_kv, rk_kv = _specs(
+        block_q, block_k, d, bshd, kv_grid_order=True)
+    in_specs_kv = [q_spec_kv, kv_spec_kv, kv_spec_kv, q_spec_kv, q_spec_kv,
+                   lse_spec_kv]
+    inputs_kv = [q, k, v, do, o, lse]
+    if has_rope:
+        in_specs_kv += [rq_kv, rq_kv, rk_kv, rk_kv]
+        inputs_kv += [cos, sin, cos, sin]
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, kv_len=kv_len,
-                          block_k=block_k, num_q_blocks=nq, need_mask=need_mask),
-        out_shape=[jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32)] * 2,
+                          block_k=block_k, num_q_blocks=nq,
+                          need_mask=need_mask, has_rope=has_rope, bshd=bshd),
+        out_shape=[jax.ShapeDtypeStruct(grad_shape, jnp.float32)] * 2,
         grid=(b, h, nk, nq),
-        in_specs=[q_spec_kv, kv_spec_kv, kv_spec_kv, q_spec_kv, q_spec_kv,
-                  lse_spec_kv],
+        in_specs=in_specs_kv,
         out_specs=[kv_spec_kv, kv_spec_kv],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, do, o, lse)
+    )(*inputs_kv)
 
-    q_spec_q = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
-    kv_spec_q = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
-    lse_spec_q = pl.BlockSpec((1, 1, block_q, LANES),
-                              lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    q_spec_q, kv_spec_q, lse_spec_q, rq_q, rk_q = _specs(
+        block_q, block_k, d, bshd)
+    in_specs_q = [q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, q_spec_q, lse_spec_q]
+    inputs_q = [q, k, v, do, o, lse]
+    if has_rope:
+        in_specs_q += [rq_q, rq_q, rk_q, rk_q]
+        inputs_q += [cos, sin, cos, sin]
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, kv_len=kv_len,
-                          block_k=block_k, num_kv_blocks=nk, need_mask=need_mask),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
+                          block_k=block_k, num_kv_blocks=nk,
+                          need_mask=need_mask, has_rope=has_rope, bshd=bshd),
+        out_shape=jax.ShapeDtypeStruct(grad_shape, jnp.float32),
         grid=(b, h, nq, nk),
-        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, q_spec_q, lse_spec_q],
+        in_specs=in_specs_q,
         out_specs=q_spec_q,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, do, o, lse)
+    )(*inputs_q)
 
-    clip = lambda x: x[:, :, :s, :]
+    clip = (lambda x: x[:, :s]) if bshd else (lambda x: x[:, :, :s, :])
     return (clip(dq).astype(q.dtype), clip(dk).astype(k.dtype),
             clip(dv).astype(v.dtype))
 
 
 # --------------------------------------------------------------------------
-# custom_vjp wrapper: Pallas forward, chunked-JAX flash backward
+# custom_vjp wrapper: Pallas forward, Pallas backward
 # --------------------------------------------------------------------------
 
 def _xla_fwd(q, k, v, sm_scale, kv_len):
@@ -299,7 +430,8 @@ def _xla_fwd(q, k, v, sm_scale, kv_len):
 def _chunked_bwd(q, k, v, o, do, sm_scale: float, kv_len: int, block_q: int = 1024):
     """Flash-style backward by q-block recompute (fp32), scanned over q blocks.
 
-    Never materialises more than [block_q, S] scores per (B,H) slice.
+    Reference/debug path (no rope); never materialises more than
+    [block_q, S] scores per (B,H) slice.
     """
     b, h, s, d = q.shape
     s_pad = _round_up(s, block_q)
@@ -358,33 +490,42 @@ BWD_BLOCK_Q = 512
 BWD_BLOCK_K = 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
-    return _fwd_impl(q, k, v, sm_scale, kv_len, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, cos, sin, sm_scale, kv_len, block_q, block_k, interpret,
+           bshd=False):
+    rope = None if cos is None else (cos, sin)
+    return _fwd_impl(q, k, v, rope, sm_scale, kv_len, block_q, block_k,
+                     interpret, bshd=bshd)
 
 
-def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, cos, sin, sm_scale, kv_len, block_q, block_k,
+               interpret, bshd=False):
     # smaller blocks when saving residuals: the lse output block + scores
     # tile exceed scoped VMEM at block_q=2048
     bq = min(block_q, 1024)
     bk = min(block_k, 1024)
-    o, lse = _fwd_impl(q, k, v, sm_scale, kv_len, bq, bk, interpret,
-                       save_residuals=True)
-    return o, (q, k, v, o, lse)
+    rope = None if cos is None else (cos, sin)
+    o, lse = _fwd_impl(q, k, v, rope, sm_scale, kv_len, bq, bk, interpret,
+                       save_residuals=True, bshd=bshd)
+    return o, (q, k, v, o, lse, cos, sin)
 
 
-def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, res, do):
-    q, k, v, o, lse = res
+def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, bshd, res, do):
+    q, k, v, o, lse, cos, sin = res
+    rope = None if cos is None else (cos, sin)
     bq = min(BWD_BLOCK_Q, block_q)
     bk = min(BWD_BLOCK_K, block_k)
     # forward padded lse to the bwd padding granularity
-    s = q.shape[2]
+    s = q.shape[1] if bshd else q.shape[2]
     s_pad = _round_up(s, max(bq, bk))
     if lse.shape[2] < s_pad:   # fwd used larger blocks -> lse longer; else pad
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, s_pad - lse.shape[2]), (0, 0)],
                       constant_values=-NEG_INF)
-    return _bwd_impl(q, k, v, o, lse[:, :, :s_pad], do, sm_scale, kv_len,
-                     bq, bk, interpret)
+    dq, dk, dv = _bwd_impl(q, k, v, o, lse[:, :, :s_pad], do, rope, sm_scale,
+                           kv_len, bq, bk, interpret, bshd=bshd)
+    dcos = None if cos is None else jnp.zeros_like(cos)
+    dsin = None if sin is None else jnp.zeros_like(sin)
+    return dq, dk, dv, dcos, dsin
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -396,26 +537,86 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     kv_len: Optional[int] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    rope_start: int = 0,
     block_q: int = 2048,   # tuned on v5e: 58 TF/s bf16 @ S=17776, D=64
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """Flash attention over [B, H, S, D] (self-attention, non-causal).
+    """Flash attention (self-attention, non-causal).
 
-    `kv_len`: number of valid kv positions (defaults to S); trailing
-    positions are masked.  On non-TPU backends runs the kernel in
-    interpret mode only for tiny shapes — otherwise uses the XLA fallback.
+    `layout`: "bhsd" ([B, H, S, D]) or "bshd" ([B, S, H, D]).  bshd lets the
+    kernel read the qkv projections' natural layout directly — no [B,H,S,D]
+    transpose is ever materialised in HBM (the transposed fp32 copies cost
+    ~1.3 GB/step at 17,776 tokens).  `kv_len`: number of valid kv positions
+    (defaults to S); trailing positions are masked.  `rope=(cos, sin)`
+    ([<= S - rope_start, D] tables) applies rotate-half RoPE to q/k inside
+    the kernel; positions before `rope_start` (text tokens) and after the
+    table (padding) are left unrotated.  On non-TPU backends falls back to
+    rotating in XLA + SDPA.
     """
-    b, h, s, d = q.shape
+    bshd = layout == "bshd"
+    if bshd:
+        b, s, h, d = q.shape
+    else:
+        b, h, s, d = q.shape
     if scale is None:
         scale = d ** -0.5
     if kv_len is None:
         kv_len = s
+
+    cos = sin = None
+    if rope is not None:
+        cos_v, sin_v = rope
+        tail = s - rope_start - cos_v.shape[0]   # caller-padded rows: identity
+        if tail < 0:
+            raise ValueError(f"rope table rows {cos_v.shape[0]} > "
+                             f"{s} - rope_start {rope_start}")
+        cos = jnp.concatenate(
+            [jnp.ones((rope_start, d), jnp.float32), cos_v.astype(jnp.float32),
+             jnp.ones((tail, d), jnp.float32)])
+        sin = jnp.concatenate(
+            [jnp.zeros((rope_start, d), jnp.float32), sin_v.astype(jnp.float32),
+             jnp.zeros((tail, d), jnp.float32)])
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if interpret is None and not on_tpu:
+        if bshd:
+            q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        if cos is not None:
+            from .rope import apply_rotary_emb
+
+            q = apply_rotary_emb(q, cos, sin)
+            k = apply_rotary_emb(k, cos, sin)
+        out = _xla_fwd(q, k, v, scale, kv_len if kv_len < s else None)
+        return out.transpose(0, 2, 1, 3) if bshd else out
     if interpret is None:
-        on_tpu = jax.devices()[0].platform == "tpu"
-        if not on_tpu:
-            return _xla_fwd(q, k, v, scale, kv_len if kv_len < s else None)
         interpret = False
-    block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
-    return _flash(q, k, v, float(scale), int(kv_len), int(block_q), int(block_k), interpret)
+
+    s128 = _round_up(s, 128)
+    if cos is not None:
+        # the rope cos/sin tiles + double buffering exceed scoped VMEM at
+        # block_q=2048 (21.7M > 16M, measured)
+        block_q = min(block_q, 1024)
+    block_q = min(block_q, s128)
+    block_k = min(block_k, s128)
+    if block_q % block_k:
+        # grid is exact only when the padded length divides into both block
+        # sizes; for odd lengths (e.g. the router's 1350-token spatial attn
+        # -> 1408) fall back to a single kv block
+        block_k = block_q
+
+    if bshd and not interpret:
+        # Mosaic can't block the head dim of [B,S,H,D] (second-to-last block
+        # dims must be 8-divisible); transpose to [B,H,S,D] for the kernel.
+        # The barrier pins the bf16 materialisation first — otherwise XLA
+        # hoists the fp32->bf16 convert past the transpose and the copies
+        # land in fp32 (2x HBM, measured 864 MB/step).
+        q, k, v = jax.lax.optimization_barrier((q, k, v))
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        out = _flash(q, k, v, cos, sin, float(scale), int(kv_len),
+                     int(block_q), int(block_k), interpret, False)
+        return out.transpose(0, 2, 1, 3)
+    return _flash(q, k, v, cos, sin, float(scale), int(kv_len),
+                  int(block_q), int(block_k), interpret, bshd)

@@ -174,7 +174,7 @@ def test_flash_attention_interpret_matches_sdpa():
     q = jax.random.normal(jax.random.key(0), (1, 2, 256, 64), jnp.float32)
     k = jax.random.normal(jax.random.key(1), (1, 2, 256, 64), jnp.float32)
     v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64), jnp.float32)
-    out = _fwd_impl(q, k, v, 64 ** -0.5, 256, block_q=128, block_k=128,
+    out = _fwd_impl(q, k, v, None, 64 ** -0.5, 256, block_q=128, block_k=128,
                     interpret=True)
     ref = sdpa(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
@@ -186,7 +186,7 @@ def test_flash_attention_padding_mask():
     q = jax.random.normal(jax.random.key(0), (1, 1, 256, 64), jnp.float32)
     k = jax.random.normal(jax.random.key(1), (1, 1, 256, 64), jnp.float32)
     v = jax.random.normal(jax.random.key(2), (1, 1, 256, 64), jnp.float32)
-    out = _fwd_impl(q, k, v, 64 ** -0.5, s_valid, block_q=128, block_k=128,
+    out = _fwd_impl(q, k, v, None, 64 ** -0.5, s_valid, block_q=128, block_k=128,
                     interpret=True)
     ref = sdpa(q[:, :, :s_valid], k[:, :, :s_valid], v[:, :, :s_valid])
     np.testing.assert_allclose(np.asarray(out[:, :, :s_valid]), np.asarray(ref),
@@ -227,7 +227,7 @@ def test_flash_pallas_backward_matches_sdpa_grad():
     v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64), jnp.float32)
 
     def loss_flash(q, k, v):
-        return jnp.sum(_flash(q, k, v, 64 ** -0.5, 256, 128, 128, True) ** 2)
+        return jnp.sum(_flash(q, k, v, None, None, 64 ** -0.5, 256, 128, 128, True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(sdpa(q, k, v) ** 2)
@@ -248,7 +248,7 @@ def test_flash_pallas_backward_padded_kv():
     v = jax.random.normal(jax.random.key(2), (1, 1, 256, 64), jnp.float32)
 
     def loss_flash(q, k, v):
-        out = _flash(q, k, v, 64 ** -0.5, s_valid, 128, 128, True)
+        out = _flash(q, k, v, None, None, 64 ** -0.5, s_valid, 128, 128, True)
         return jnp.sum(out[:, :, :s_valid] ** 2)
 
     def loss_ref(q, k, v):
@@ -262,3 +262,112 @@ def test_flash_pallas_backward_padded_kv():
         np.testing.assert_allclose(np.asarray(a[:, :, :s_valid]),
                                    np.asarray(b), atol=2e-4)
         np.testing.assert_allclose(np.asarray(a[:, :, s_valid:]), 0.0, atol=1e-5)
+
+
+def test_flash_fused_rope_matches_external_rope():
+    """RoPE fused into the Pallas kernel == rotate in XLA then attend
+    (fwd, interpret mode).  Text positions (rope_start) stay unrotated."""
+    from bindyouravatar_tpu.ops.flash_attention import _fwd_impl
+    from bindyouravatar_tpu.ops.rope import (apply_rotary_emb,
+                                             get_3d_rotary_pos_embed)
+
+    text_len, d = 16, 64
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (12, 10)), (12, 10), 2)
+    s = text_len + cos.shape[0]  # 16 + 240 = 256
+    q = jax.random.normal(jax.random.key(0), (1, 2, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 2, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 2, s, d), jnp.float32)
+
+    cos_j = jnp.concatenate([jnp.ones((text_len, d)), cos])
+    sin_j = jnp.concatenate([jnp.zeros((text_len, d)), sin])
+    out = _fwd_impl(q, k, v, (cos_j, sin_j), d ** -0.5, s,
+                    block_q=128, block_k=128, interpret=True)
+
+    rot = lambda x: jnp.concatenate(
+        [x[:, :, :text_len], apply_rotary_emb(x[:, :, text_len:], cos, sin)],
+        axis=2)
+    ref = sdpa(rot(q), rot(k), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_fused_rope_backward():
+    """Fused-rope custom_vjp grads == XLA autodiff through rope+sdpa."""
+    from bindyouravatar_tpu.ops.flash_attention import _flash
+    from bindyouravatar_tpu.ops.rope import (apply_rotary_emb,
+                                             get_3d_rotary_pos_embed)
+
+    text_len, d = 8, 64
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s = text_len + cos.shape[0]  # 8 + 240 = 248 -> padded to 256 in-kernel
+    q = jax.random.normal(jax.random.key(0), (1, 2, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 2, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 2, s, d), jnp.float32)
+
+    cos_j = jnp.concatenate([jnp.ones((text_len, d)), cos])
+    sin_j = jnp.concatenate([jnp.zeros((text_len, d)), sin])
+
+    def loss_flash(q, k, v):
+        out = _flash(q, k, v, cos_j, sin_j, d ** -0.5, s, 128, 128, True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        rot = lambda x: jnp.concatenate(
+            [x[:, :, :text_len],
+             apply_rotary_emb(x[:, :, text_len:], cos, sin)], axis=2)
+        return jnp.sum(sdpa(rot(q), rot(k), v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_joint_attention_seq_padding_equivalence():
+    """JointSelfAttention pads the joint sequence to the flash block multiple
+    before qkv; result must equal the unpadded non-flash path."""
+    from bindyouravatar_tpu.models.layers import JointSelfAttention
+    from bindyouravatar_tpu.ops.rope import get_3d_rotary_pos_embed
+
+    text_len, d = 26, 64
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (30, 45)), (30, 45), 1)
+    s_vid = cos.shape[0]   # 1350 -> joint 1376, padded to 2048 in-module
+    hidden = jax.random.normal(jax.random.key(0), (2, s_vid, 128))
+    enc = jax.random.normal(jax.random.key(1), (2, text_len, 128))
+
+    kw = dict(heads=2, head_dim=d, dtype=jnp.float32, param_dtype=jnp.float32)
+    flash = JointSelfAttention(use_flash=True, **kw)
+    plain = JointSelfAttention(use_flash=False, **kw)
+    params = plain.init(jax.random.key(2), hidden, enc, (cos, sin))
+
+    h1, e1 = flash.apply(params, hidden, enc, (cos, sin))
+    h2, e2 = plain.apply(params, hidden, enc, (cos, sin))
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-5)
+
+
+def test_flash_bshd_layout_matches_bhsd():
+    """[B,S,H,D]-layout kernel (fwd + bwd, interpret) == [B,H,S,D] path."""
+    from bindyouravatar_tpu.ops.flash_attention import _flash
+
+    b, s, h, d = 1, 200, 2, 64   # 200 -> padded to 256 in-kernel
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d), jnp.float32)
+
+    def loss_bshd(q, k, v):
+        out = _flash(q, k, v, None, None, d ** -0.5, s, 128, 128, True, True)
+        return jnp.sum(out ** 2), out
+
+    def loss_bhsd(q, k, v):
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        out = _flash(t(q), t(k), t(v), None, None, d ** -0.5, s, 128, 128,
+                     True, False)
+        return jnp.sum(out ** 2), t(out)
+
+    (l1, o1), g1 = jax.value_and_grad(loss_bshd, argnums=(0, 1, 2),
+                                      has_aux=True)(q, k, v)
+    (l2, o2), g2 = jax.value_and_grad(loss_bhsd, argnums=(0, 1, 2),
+                                      has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
