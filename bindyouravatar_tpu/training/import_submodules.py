@@ -154,7 +154,10 @@ def import_face_modules(sd_or_path) -> Dict[str, Any]:
             "to_kv": _lin(sd, "to_kv"),
             "to_out": _lin(sd, "to_out"),
         })
-    return {"lfe": lfe, "perceiver": _stack(pcas)}
+    out = {"lfe": lfe}
+    if pcas:
+        out["perceiver"] = _stack(pcas)
+    return out
 
 
 # ------------------------------------------------------------------ #
