@@ -214,3 +214,94 @@ def import_reference_dit(safetensor_files: List[str], dit,
     }
     params["proj_out"] = lin("x", "proj_out.weight", "proj_out.bias")
     return params
+
+
+# ------------------------------------------------------------------ #
+# reference peft-LoRA safetensors import + fusion
+# ------------------------------------------------------------------ #
+
+def import_lora_safetensors(files_or_sd, dit, params: Dict[str, Any],
+                            ) -> Dict[str, Any]:
+    """Load reference peft LoRA safetensors into the in-layer stacked
+    `blocks/attn1/to_{q,k}_lora_{A,B}` params.
+
+    Mirrors `load_mixed_lora_weights` (reference `util/utils.py:1027-1048`,
+    wired at `infer.py:199`): keys are
+    `transformer[.module].transformer_blocks.{i}.attn1.to_{q,k}.lora_{A,B}.weight`
+    with peft shapes A [r, in] / B [out, r].  Transposed to our kernel-style
+    A [in, r] / B [r, out]; the B output channels of q/k get the same RoPE
+    interleave->rotate-half permutation as the base weights (ops/rope.py).
+    peft's alpha/r scaling convention matches ours, so values import raw.
+    """
+    if isinstance(files_or_sd, dict):
+        sd = {k: np.asarray(v) for k, v in files_or_sd.items()}
+    else:
+        from safetensors import safe_open
+
+        sd = {}
+        for f in files_or_sd:
+            with safe_open(f, framework="np") as fp:
+                for k in fp.keys():
+                    sd[k] = fp.get_tensor(k)
+
+    def norm_key(k):
+        i = k.find("transformer_blocks.")
+        return k[i:] if i >= 0 else k
+
+    sd = {norm_key(k): v for k, v in sd.items()}
+
+    c = dit.cfg
+    if c.lora_rank <= 0:
+        raise ValueError("DiT config has lora_rank=0 — no LoRA slots to fill "
+                         "(use fuse_lora for inference configs)")
+    heads, hd = c.num_attention_heads, c.attention_head_dim
+    perm = _rope_permutation(hd)
+    full_perm = np.concatenate([perm + h * hd for h in range(heads)])
+
+    stacked: Dict[str, List[np.ndarray]] = {}
+    for i in range(c.num_layers):
+        for proj in ("to_q", "to_k"):
+            base = f"transformer_blocks.{i}.attn1.{proj}"
+            a = sd[f"{base}.lora_A.weight"].astype(np.float32).T   # [in, r]
+            b = sd[f"{base}.lora_B.weight"].astype(np.float32).T   # [r, out]
+            b = b[:, full_perm]          # RoPE permutation on the q/k delta
+            stacked.setdefault(f"{proj}_lora_A", []).append(a)
+            stacked.setdefault(f"{proj}_lora_B", []).append(b)
+
+    import jax.numpy as jnp
+
+    out = jax.tree.map(lambda x: x, params)    # shallow-ish copy
+    attn1 = dict(out["blocks"]["attn1"])
+    for name, mats in stacked.items():
+        arr = jnp.asarray(np.stack(mats))
+        if attn1[name].shape != arr.shape:
+            raise ValueError(f"{name}: expected {attn1[name].shape}, "
+                             f"got {arr.shape} (rank mismatch?)")
+        attn1[name] = arr.astype(attn1[name].dtype)
+    out["blocks"] = dict(out["blocks"], attn1=attn1)
+    return out
+
+
+def fuse_lora(params: Dict[str, Any], lora_alpha: float = 128.0) -> Dict[str, Any]:
+    """Fold the in-layer LoRA deltas into the base q/k kernels and drop the
+    LoRA params (reference `pipe.fuse_lora()`, `infer.py:279`) — the
+    inference configuration then runs with `lora_rank=0` (saves 264 MB of
+    weights and the per-step delta matmuls)."""
+    import jax.numpy as jnp
+
+    attn1 = dict(params["blocks"]["attn1"])
+    for proj in ("to_q", "to_k"):
+        a = attn1.pop(f"{proj}_lora_A", None)
+        b = attn1.pop(f"{proj}_lora_B", None)
+        if a is None or b is None:
+            continue
+        r = a.shape[-1]
+        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32),
+                           b.astype(jnp.float32)) * (lora_alpha / r)
+        base = dict(attn1[proj])
+        base["kernel"] = (base["kernel"].astype(jnp.float32)
+                          + delta).astype(attn1[proj]["kernel"].dtype)
+        attn1[proj] = base
+    out = dict(params)
+    out["blocks"] = dict(params["blocks"], attn1=attn1)
+    return out

@@ -110,3 +110,109 @@ def import_eva_vision(sd_or_path, cfg: EVACLIPConfig = EVACLIPConfig()) -> Dict[
             "w3": {"kernel": g(f"{b}.mlp.w3.weight").T, "bias": g(f"{b}.mlp.w3.bias")},
         }
     return params
+
+
+# ------------------------------------------------------------------ #
+# CogVideoX causal 3D VAE (diffusers AutoencoderKLCogVideoX)
+# ------------------------------------------------------------------ #
+
+def vae_key_map(cfg) -> Dict[str, tuple]:
+    """Map diffusers `AutoencoderKLCogVideoX` state-dict keys -> (our
+    flat param path, kind).  kind: 'conv3d' [out,in,kt,kh,kw] -> NDHWC
+    kernel; 'conv2d' [out,in,kh,kw] -> our (1,kh,kw) kernel; 'vec'.
+
+    Loaded by the reference at `infer.py:278` (`pipe = ...from_pretrained`)
+    and `train.py:412-466`; module naming per diffusers
+    `autoencoder_kl_cogvideox.py` (CausalConv3d wraps `conv`; the
+    down/upsamplers use plain Conv2d).
+    """
+    m: Dict[str, tuple] = {}
+
+    def conv(theirs, ours, kind="conv3d"):
+        # CogVideoXCausalConv3d and the down/upsamplers wrap an inner `conv`
+        m[f"{theirs}.conv.weight"] = (f"{ours}/conv/kernel", kind)
+        m[f"{theirs}.conv.bias"] = (f"{ours}/conv/bias", "vec")
+
+    def gn(theirs, ours):
+        m[f"{theirs}.weight"] = (f"{ours}/gn/scale", "vec")
+        m[f"{theirs}.bias"] = (f"{ours}/gn/bias", "vec")
+
+    def resnet(theirs, ours, spatial: bool, has_shortcut: bool):
+        for norm in ("norm1", "norm2"):
+            if spatial:
+                gn(f"{theirs}.{norm}.norm_layer", f"{ours}/{norm}/norm_layer")
+                conv(f"{theirs}.{norm}.conv_y", f"{ours}/{norm}/conv_y")
+                conv(f"{theirs}.{norm}.conv_b", f"{ours}/{norm}/conv_b")
+            else:
+                gn(f"{theirs}.{norm}", f"{ours}/{norm}")
+        conv(f"{theirs}.conv1", f"{ours}/conv1")
+        conv(f"{theirs}.conv2", f"{ours}/conv2")
+        if has_shortcut:
+            conv(f"{theirs}.conv_shortcut", f"{ours}/conv_shortcut")
+
+    chans = cfg.block_out_channels
+    n = len(chans)
+
+    # encoder
+    conv("encoder.conv_in", "encoder/conv_in")
+    prev = chans[0]
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            cin = prev if j == 0 else ch
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}",
+                   f"encoder/down_{i}_res_{j}", spatial=False,
+                   has_shortcut=cin != ch)
+        prev = ch
+        if i < n - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0",
+                 f"encoder/down_{i}_downsample", kind="conv2d")
+    for j in range(2):
+        resnet(f"encoder.mid_block.resnets.{j}", f"encoder/mid_res_{j}",
+               spatial=False, has_shortcut=False)
+    gn("encoder.norm_out", "encoder/norm_out")
+    conv("encoder.conv_out", "encoder/conv_out")
+
+    # decoder
+    rev = tuple(reversed(chans))
+    conv("decoder.conv_in", "decoder/conv_in")
+    for j in range(2):
+        resnet(f"decoder.mid_block.resnets.{j}", f"decoder/mid_res_{j}",
+               spatial=True, has_shortcut=False)
+    prev = rev[0]
+    for i, ch in enumerate(rev):
+        for j in range(cfg.layers_per_block + 1):
+            cin = prev if j == 0 else ch
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                   f"decoder/up_{i}_res_{j}", spatial=True,
+                   has_shortcut=cin != ch)
+        prev = ch
+        if i < n - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0",
+                 f"decoder/up_{i}_upsample", kind="conv2d")
+    gn("decoder.norm_out.norm_layer", "decoder/norm_out/norm_layer")
+    conv("decoder.norm_out.conv_y", "decoder/norm_out/conv_y")
+    conv("decoder.norm_out.conv_b", "decoder/norm_out/conv_b")
+    conv("decoder.conv_out", "decoder/conv_out")
+    return m
+
+
+def import_vae(sd_or_path, vae) -> Dict[str, Any]:
+    """diffusers `AutoencoderKLCogVideoX` torch state dict -> `CausalVAE`
+    param tree (torch conv [out,in,kt,kh,kw] -> flax NDHWC
+    [kt,kh,kw,in,out]; the 2D down/upsampler convs gain a length-1
+    temporal axis)."""
+    import flax.traverse_util as tu
+
+    sd = _load_sd(sd_or_path)
+    flat: Dict[tuple, np.ndarray] = {}
+    for theirs, (ours, kind) in vae_key_map(vae.cfg).items():
+        # tolerate dicts saved without the inner `conv` wrapper
+        key = theirs if theirs in sd else theirs.replace(".conv.", ".")
+        w = np.asarray(sd[key]).astype(np.float32)
+        if kind == "conv3d":
+            w = w.transpose(2, 3, 4, 1, 0)          # [kt,kh,kw,in,out]
+        elif kind == "conv2d":
+            w = w.transpose(2, 3, 1, 0)[None]       # [1,kh,kw,in,out]
+        flat[tuple(ours.split("/"))] = w
+    tree = tu.unflatten_dict(flat)
+    return {"encoder": tree["encoder"], "decoder": tree["decoder"]}

@@ -145,3 +145,79 @@ def test_import_channel_growth(tmp_path):
     p = dit_big.cfg.patch_size
     grown = k.reshape(8, p * p, -1)[4:]
     assert np.abs(grown).max() == 0.0
+
+
+def test_import_lora_safetensors_and_fuse():
+    """peft-style LoRA state dict -> in-layer stacked params (with the RoPE
+    q/k output permutation), then fuse_lora == the unfused forward
+    (reference util/utils.py:1027-1048 + infer.py:279)."""
+    import dataclasses
+
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.training.checkpoint import (
+        _rope_permutation, fuse_lora, import_lora_safetensors)
+
+    rank = 4
+    dit = DiT.tiny(lora_rank=rank, in_channels=8, out_channels=4)
+    c = dit.cfg
+    params = dit.init(jax.random.key(0))
+    inner = c.num_attention_heads * c.attention_head_dim
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    for i in range(c.num_layers):
+        for proj in ("to_q", "to_k"):
+            base = f"transformer.transformer_blocks.{i}.attn1.{proj}"
+            sd[f"{base}.lora_A.weight"] = rng.normal(
+                0, 0.05, (rank, c.inner_dim)).astype(np.float32)
+            sd[f"{base}.lora_B.weight"] = rng.normal(
+                0, 0.05, (inner, rank)).astype(np.float32)
+
+    loaded = import_lora_safetensors(sd, dit, params)
+
+    # spot-check the transpose + RoPE permutation on layer 0 to_q
+    perm = _rope_permutation(c.attention_head_dim)
+    full_perm = np.concatenate([perm + h * c.attention_head_dim
+                                for h in range(c.num_attention_heads)])
+    a0 = np.asarray(loaded["blocks"]["attn1"]["to_q_lora_A"][0])
+    b0 = np.asarray(loaded["blocks"]["attn1"]["to_q_lora_B"][0])
+    np.testing.assert_allclose(
+        a0, sd["transformer.transformer_blocks.0.attn1.to_q.lora_A.weight"].T)
+    np.testing.assert_allclose(
+        b0, sd["transformer.transformer_blocks.0.attn1.to_q.lora_B.weight"].T[:, full_perm])
+
+    # fused forward (lora_rank=0 config) == unfused forward (lora config)
+    t, hg, wg = c.latent_grid
+    lat = jax.random.normal(jax.random.key(1),
+                            (1, t, c.in_channels, c.sample_height, c.sample_width))
+    text = jax.random.normal(jax.random.key(2),
+                             (1, c.max_text_seq_length, c.text_embed_dim))
+    ts = jnp.full((1,), 300.0)
+    rope = dit.rope(c.sample_height * 8, c.sample_width * 8, t)
+
+    out_lora, _ = dit.apply(loaded, lat, text, ts, rope)
+
+    dit0 = DiT.tiny(lora_rank=0, in_channels=8, out_channels=4)
+    fused = fuse_lora(loaded, lora_alpha=c.lora_alpha)
+    assert "to_q_lora_A" not in fused["blocks"]["attn1"]
+    out_fused, _ = dit0.apply(fused, lat, text, ts, rope)
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_fused),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_import_lora_rejects_rank_mismatch():
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.training.checkpoint import import_lora_safetensors
+
+    dit = DiT.tiny(lora_rank=4, in_channels=8, out_channels=4)
+    params = dit.init(jax.random.key(0))
+    c = dit.cfg
+    inner = c.num_attention_heads * c.attention_head_dim
+    sd = {}
+    for i in range(c.num_layers):
+        for proj in ("to_q", "to_k"):
+            base = f"transformer_blocks.{i}.attn1.{proj}"
+            sd[f"{base}.lora_A.weight"] = np.zeros((8, c.inner_dim), np.float32)
+            sd[f"{base}.lora_B.weight"] = np.zeros((inner, 8), np.float32)
+    with pytest.raises(ValueError, match="rank mismatch"):
+        import_lora_safetensors(sd, dit, params)

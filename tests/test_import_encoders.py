@@ -86,3 +86,50 @@ def test_import_eva():
     pooled, hidden_states = eva.apply(imported, jnp.zeros((1, 3, cfg.image_size,
                                                            cfg.image_size)))
     assert np.all(np.isfinite(np.asarray(pooled)))
+
+
+def test_import_vae_roundtrip():
+    """Synthetic diffusers-style AutoencoderKLCogVideoX state dict ->
+    CausalVAE tree: every param covered, conv transposes exact, and the
+    imported tree decodes/encodes identically to the source values."""
+    import flax.traverse_util as tu
+
+    from bindyouravatar_tpu.models.vae import CausalVAE
+    from bindyouravatar_tpu.training.import_encoders import (import_vae,
+                                                             vae_key_map)
+
+    vae = CausalVAE.tiny()
+    params = vae.init(jax.random.key(0))
+    flat = tu.flatten_dict(params, sep="/")
+
+    kmap = vae_key_map(vae.cfg)
+    ours_covered = {ours for ours, _ in kmap.values()}
+    missing = set(flat) - ours_covered
+    assert not missing, f"params not covered by the VAE key map: {missing}"
+
+    # build the torch-layout dict by inverting the converter's transposes
+    rng = np.random.default_rng(0)
+    sd = {}
+    for theirs, (ours, kind) in kmap.items():
+        v = rng.normal(0, 0.05, flat[ours].shape).astype(np.float32)
+        flat[ours] = jnp.asarray(v)
+        if kind == "conv3d":
+            sd[theirs] = v.transpose(4, 3, 0, 1, 2)      # [out,in,kt,kh,kw]
+        elif kind == "conv2d":
+            sd[theirs] = v[0].transpose(3, 2, 0, 1)      # [out,in,kh,kw]
+        else:
+            sd[theirs] = v
+
+    want = tu.unflatten_dict(flat, sep="/")
+    got = import_vae(sd, vae)
+    for k in tu.flatten_dict(want, sep="/"):
+        np.testing.assert_allclose(
+            np.asarray(tu.flatten_dict(got, sep="/")[k]),
+            np.asarray(tu.flatten_dict(want, sep="/")[k]), atol=0, rtol=0)
+
+    # imported tree actually runs
+    video = jax.random.normal(jax.random.key(1), (1, 5, 3, 16, 16))
+    lat = vae.encode(got, video)
+    out = vae.decode(got, lat)
+    assert out.shape == (1, 5, 3, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
