@@ -48,6 +48,11 @@ def get_args(argv=None):
     p.add_argument("--module_dir", type=str, default=None,
                    help="pretrained audio/face/router sub-modules")
     p.add_argument("--reference_transformer", type=str, nargs="*", default=None)
+    p.add_argument("--num_validation_videos", type=int, default=0,
+                   help="generate N validation videos at every checkpoint "
+                        "(reference log_validation, train.py:103-203)")
+    p.add_argument("--validation_steps", type=int, default=8,
+                   help="inference steps per validation video")
     return p.parse_args(argv)
 
 
@@ -129,10 +134,32 @@ def main(argv=None):
                 0, 1, (b, c.num_ids, lfe.num_scales, 9, lfe.vit_dim)).astype(np.float32))
 
     trainer = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()), cfg=cfg)
-    driver = TrainDriver(trainer=trainer, vae=vae, vae_params=vae.init(jax.random.key(1)),
+    vae_params = vae.init(jax.random.key(1))
+    driver = TrainDriver(trainer=trainer, vae=vae, vae_params=vae_params,
                          cfg=cfg, output_dir=args.output_dir, mesh=mesh)
+
+    validation_fn = None
+    if args.num_validation_videos > 0:
+        # every-checkpoint video validation (reference log_validation,
+        # train.py:103-203, 1652-1732), generated from the live params
+        from bindyouravatar_tpu.config import PipelineConfig
+        from bindyouravatar_tpu.pipeline.pipeline import BindYourAvatarPipeline
+        from bindyouravatar_tpu.training.validation import make_validation_fn
+
+        pipe = BindYourAvatarPipeline.create(
+            dit, vae, PipelineConfig(height=c.sample_height * 8,
+                                     width=c.sample_width * 8,
+                                     num_frames=c.sample_frames))
+        val_pe = rngc.normal(0, 1, (1, c.max_text_seq_length,
+                                    c.text_embed_dim)).astype(np.float32)
+        validation_fn = make_validation_fn(
+            pipe, vae_params, args.output_dir, val_pe,
+            num_inference_steps=args.validation_steps,
+            num_videos=args.num_validation_videos, seed=args.seed)
+
     driver.run(dataset, params, batch_size=args.batch_size,
-               make_batch_extras=extras, resume=args.resume)
+               make_batch_extras=extras, resume=args.resume,
+               validation_fn=validation_fn)
     return 0
 
 

@@ -19,10 +19,15 @@ def test_sft_launcher_end_to_end(tmp_path):
     out = str(tmp_path / "run")
     rc = sft.main(["--model_size", "tiny", "--max_train_steps", "2",
                    "--batch_size", "8", "--checkpointing_steps", "2",
-                   "--output_dir", out, "--resume", "none"])
+                   "--output_dir", out, "--resume", "none",
+                   "--num_validation_videos", "1", "--validation_steps", "2"])
     assert rc == 0
     with open(os.path.join(out, "metrics.jsonl")) as f:
         rows = [json.loads(l) for l in f]
     assert len(rows) == 2
     assert all(np.isfinite(r["loss"]) for r in rows)
     assert os.path.isdir(os.path.join(out, "checkpoints"))
+    # every-checkpoint validation video generated from the live params
+    val_dirs = [d for d in os.listdir(out) if d.startswith("validation-")]
+    assert val_dirs, "no validation output produced"
+    assert any(os.listdir(os.path.join(out, d)) for d in val_dirs)
