@@ -110,12 +110,46 @@ class FaceDetector:
         return [DetectedFace(np.array([0, 0, w, h], np.float32), None)]
 
 
+# bisenet background labels whited out before CLIP (reference
+# `models/utils.py:475`): background, clothes, hat, ears, earrings, neck(s)
+BISENET_BG_LABELS = (0, 16, 18, 7, 8, 9, 14, 15)
+
+
+def parse_whiteout(face: np.ndarray, parsing: np.ndarray,
+                   bg_labels: Sequence[int] = BISENET_BG_LABELS,
+                   skip_bg_removal: bool = False
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Face-parsing background whiteout (reference `models/utils.py:466-484`).
+
+    face: RGB [H,W,3] (uint8 or float 0..255); parsing: [H,W] int bisenet
+    labels.  Returns float32 0..255 images:
+      * clip_input — parsed-face-on-white, GRAYSCALE face (`to_gray`,
+        `:251-254`): the content the EVA-CLIP tower actually sees;
+      * composite  — background whited out, face in color (used for the
+        conditioning canvas), or the original when `skip_bg_removal`.
+    """
+    f = face.astype(np.float32)
+    bg = np.isin(parsing, np.asarray(bg_labels))[..., None]
+    luma = f @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    gray = np.repeat(luma[..., None], 3, axis=-1)
+    white = np.full_like(f, 255.0)
+    clip_input = np.where(bg, white, gray)
+    composite = f if skip_bg_removal else np.where(bg, white, f)
+    return clip_input, composite
+
+
 @dataclasses.dataclass
 class FaceProcessor:
     """End-to-end face conditioning (reference `process_face_embeddings*`)."""
     eva_apply: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]]
     arcface: Callable[[np.ndarray], np.ndarray]
     detector: FaceDetector = dataclasses.field(default_factory=FaceDetector)
+    # pluggable bisenet-semantics parser: face512 RGB -> [512,512] int labels.
+    # None skips the whiteout (no parser weights in this image); real weights
+    # drop in without code changes and restore the reference's CLIP-input
+    # contract (parsed-gray-face-on-white, `models/utils.py:466-480`).
+    face_parser: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    skip_bg_removal: bool = False
     eva_size: int = 336
     # EVA-CLIP normalisation (OpenAI CLIP stats, as the vendored package)
     mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
@@ -150,7 +184,14 @@ class FaceProcessor:
         arc_in = (face112.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
         arc_emb = np.asarray(self.arcface(arc_in[None]))[0]          # [512]
 
-        pooled, hidden = self.eva_apply(self._eva_input(face512)[None])
+        clip_face = face512
+        if self.face_parser is not None:
+            parsing = np.asarray(self.face_parser(face512))
+            clip_face, comp = parse_whiteout(face512, parsing,
+                                             skip_bg_removal=self.skip_bg_removal)
+            face512 = comp.astype(np.uint8)
+
+        pooled, hidden = self.eva_apply(self._eva_input(clip_face)[None])
         pooled = np.asarray(pooled)[0]                                # [768]
         hidden = np.asarray(hidden)[0]                                # [5,S,1024]
         id_cond = np.concatenate([arc_emb, pooled]).astype(np.float32)

@@ -305,3 +305,35 @@ def test_mask_resize_parity():
 
     got = M.resize_mask_trilinear(_np(mask)[0, 0], 5, 8, 12)
     np.testing.assert_allclose(got, want[0, 0], atol=1e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------- parse whiteout
+def test_parse_whiteout_matches_reference_math():
+    """Background whiteout + gray-face transform
+    (`/root/reference/models/utils.py:466-484`, `to_gray` at `:251-254`)
+    vs `preprocess.face.parse_whiteout` on a synthetic bisenet map."""
+    ref_utils = load_reference_module("models/utils.py")
+    from bindyouravatar_tpu.preprocess.face import (BISENET_BG_LABELS,
+                                                    parse_whiteout)
+
+    rng = np.random.default_rng(8)
+    face = rng.integers(0, 256, (1, 3, 16, 16)).astype(np.float32)  # CHW
+    parsing = rng.integers(0, 19, (16, 16))
+
+    inp = torch.from_numpy(face) / 255.0
+    p = torch.from_numpy(parsing)[None, None]
+    bg = sum(p == i for i in BISENET_BG_LABELS).bool()
+    white = torch.ones_like(inp)
+    want_clip = torch.where(bg, white, ref_utils.to_gray(inp)).numpy()
+    want_comp = torch.where(bg, white, inp).numpy()
+
+    face_hwc = face[0].transpose(1, 2, 0)
+    got_clip, got_comp = parse_whiteout(face_hwc, parsing)
+    np.testing.assert_allclose(got_clip.transpose(2, 0, 1) / 255.0,
+                               want_clip[0], atol=1e-5)
+    np.testing.assert_allclose(got_comp.transpose(2, 0, 1) / 255.0,
+                               want_comp[0], atol=1e-5)
+
+    # skip_bg_removal: composite is the untouched input
+    _, got_orig = parse_whiteout(face_hwc, parsing, skip_bg_removal=True)
+    np.testing.assert_allclose(got_orig, face_hwc, atol=0)
