@@ -302,6 +302,8 @@ class DiT:
         rngs: Optional[Dict[str, jax.Array]] = None,
         face_emb: Optional[jnp.ndarray] = None,       # [B, I, 32, 2048] precomputed
         audio_ctx: Optional[jnp.ndarray] = None,      # [B, I, F, 32, 768] precomputed
+        sp_mesh=None,   # jax Mesh with an "sp" axis: ring-attention sequence
+                        # parallelism for >49-frame generation (superset)
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """One denoise step.  Returns (output [B,T,C_out,H,W],
         routing_logits [num_ca, B, S, I] or None)."""
@@ -364,7 +366,7 @@ class DiT:
             for j in range(g):
                 hid_, enc_ = m["block"].apply(
                     {"params": _tree_at(group_xs["blocks"], j)},
-                    hid_, enc_, temb, rope)
+                    hid_, enc_, temb, rope, sp_mesh)
 
                 if c.is_train_face and face_emb is not None and j % c.cross_attn_interval == 0:
                     pj = j // c.cross_attn_interval

@@ -128,16 +128,24 @@ class JointSelfAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, encoder_hidden, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
+    def __call__(self, hidden, encoder_hidden,
+                 rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+                 sp_mesh=None):
+        from ..ops.flash_attention import _round_up
+
         text_len = encoder_hidden.shape[1]
         x = jnp.concatenate([encoder_hidden, hidden], axis=1)  # [B, L+S, D]
         s_real = x.shape[1]
-        # pad the joint sequence to the flash block multiple BEFORE the qkv
-        # projection: q/k/v are then born padded and the kernel needs no
-        # separate pad copies (3 x 432 MB of HBM temps at 17,776 tokens)
-        if self.use_flash and s_real >= 1024:
-            from ..ops.flash_attention import _round_up
-
+        # pad the joint sequence BEFORE the qkv projection: to the flash
+        # block multiple (q/k/v born padded — no separate pad copies, 3 x
+        # 432 MB of HBM temps at 17,776 tokens), or to the ring-shard
+        # multiple under sequence parallelism
+        if sp_mesh is not None:
+            sp = sp_mesh.shape["sp"]
+            s_pad = _round_up(s_real, sp * 128)
+            if s_pad != s_real:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
+        elif self.use_flash and s_real >= 1024:
             s_pad = _round_up(s_real, 2048)
             if s_pad != s_real:
                 x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
@@ -167,11 +175,31 @@ class JointSelfAttention(nn.Module):
             q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
             k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
 
-        # stay in [B, S, H, Dh] — the kernel consumes the projections'
-        # natural layout, so no [B,H,S,D] transpose ever hits HBM; RoPE is
-        # fused into the kernel too (each costs GBs of padded temps/step)
-        o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
-                      rope=rope, rope_start=text_len, layout="bshd")
+        if sp_mesh is not None:
+            # sequence-parallel ring attention over the `sp` mesh axis —
+            # the >49-frame superset path (the reference hard-caps 49,
+            # `pipeline_bindyouravatar.py:739-742`)
+            from ..ops.ring_attention import ring_attention
+            from ..ops.rope import apply_rotary_emb
+
+            qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            if rope is not None:
+                cos, sin = rope
+                end = text_len + cos.shape[0]
+                rot = lambda t: jnp.concatenate(
+                    [t[:, :, :text_len],
+                     apply_rotary_emb(t[:, :, text_len:end], cos, sin),
+                     t[:, :, end:]], axis=2)
+                qt, kt = rot(qt), rot(kt)
+            o = ring_attention(qt, kt, vt, mesh=sp_mesh,
+                               scale=self.head_dim ** -0.5, valid_len=s_real)
+            o = o.transpose(0, 2, 1, 3)
+        else:
+            # stay in [B, S, H, Dh] — the kernel consumes the projections'
+            # natural layout, so no [B,H,S,D] transpose ever hits HBM; RoPE
+            # is fused into the kernel (each costs GBs of padded temps/step)
+            o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
+                          rope=rope, rope_start=text_len, layout="bshd")
         o = o[:, :s_real].reshape(b, s_real, inner)
         o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_out")(o)
@@ -195,7 +223,7 @@ class CogVideoXBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, encoder_hidden, temb, rope):
+    def __call__(self, hidden, encoder_hidden, temb, rope, sp_mesh=None):
         text_len = encoder_hidden.shape[1]
         norm1 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="norm1")
@@ -204,7 +232,8 @@ class CogVideoXBlock(nn.Module):
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             bias=self.attention_bias, use_flash=self.use_flash,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1")(nh, ne, rope)
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attn1")(nh, ne, rope, sp_mesh)
         hidden = hidden + (gate * attn_h).astype(hidden.dtype)
         encoder_hidden = encoder_hidden + (e_gate * attn_e).astype(hidden.dtype)
 

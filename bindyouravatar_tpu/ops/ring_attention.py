@@ -86,12 +86,19 @@ def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "sp",
                    valid_len: Optional[int] = None):
     """q/k/v: GLOBAL [B,H,S,D]; S must divide by the sp axis size.
     Returns attention output [B,H,S,D], sequence-sharded compute."""
-    from jax.experimental.shard_map import shard_map
-
     if scale is None:
         scale = q.shape[-1] ** -0.5
     spec = P(None, None, axis_name, None)
     fn = functools.partial(ring_attention_sharded, axis_name=axis_name,
                            scale=float(scale), valid_len=valid_len)
-    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+    try:
+        from jax import shard_map          # jax >= 0.7: check_vma
+
+        wrapped = shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                            out_specs=spec, check_vma=False)
+    except ImportError:                    # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        wrapped = shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                            out_specs=spec, check_rep=False)
+    return wrapped(q, k, v)

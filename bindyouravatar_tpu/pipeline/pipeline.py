@@ -51,6 +51,9 @@ class BindYourAvatarPipeline:
     vae: CausalVAE
     schedule: Schedule
     cfg: PipelineConfig = PipelineConfig()
+    # jax Mesh with an "sp" axis: ring-attention sequence parallelism in the
+    # DiT for >49-frame generation (superset; reference hard-caps 49 frames)
+    sp_mesh: Any = None
     # compiled denoise loops keyed by (steps, guidance); jax.jit's own cache
     # handles shape/structure changes under each key.  Without this every
     # `denoise` call re-wraps `jax.jit(run_loop)` and recompiles the full
@@ -172,7 +175,7 @@ class BindYourAvatarPipeline:
         # key includes every config value baked into the closure — instances
         # made via dataclasses.replace(pipe, cfg=...) share the cache dict
         cache_key = (steps, guidance, c.scheduler_type, c.use_dynamic_cfg,
-                     c.cfg_microbatch)
+                     c.cfg_microbatch, self.sp_mesh)
         if cache_key in self._loop_cache:
             return self._loop_cache[cache_key]
         sched = self.schedule
@@ -198,7 +201,8 @@ class BindYourAvatarPipeline:
                 pred, _ = dit.apply(
                     params_, model_in, sel(pe_), tvec, rope_,
                     face_emb=sel(face_), audio_ctx=sel(actx_),
-                    af_matrix=sel(af_), routing_override=sel(force_))
+                    af_matrix=sel(af_), routing_override=sel(force_),
+                    sp_mesh=self.sp_mesh)
                 return pred.astype(jnp.float32)
 
             if c.cfg_microbatch:
@@ -216,7 +220,7 @@ class BindYourAvatarPipeline:
                 noise_pred, _ = dit.apply(
                     params_, model_in, pe_, tvec, rope_,
                     face_emb=face_, audio_ctx=actx_, af_matrix=af_,
-                    routing_override=force_)
+                    routing_override=force_, sp_mesh=self.sp_mesh)
                 noise_pred = noise_pred.astype(jnp.float32)
                 un, txt = jnp.split(noise_pred, 2, axis=0)
             if c.use_dynamic_cfg:

@@ -72,6 +72,12 @@ def get_args(argv=None):
     p.add_argument("--output_dir", type=str, default="output")
     p.add_argument("--draw_routing_logits", action="store_true")
     p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips for serving (the conditioned "
+                        "flagship weights exceed one 16 GB chip)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel chips (ring attention) for "
+                        ">49-frame generation")
     return p.parse_args(argv)
 
 
@@ -144,6 +150,22 @@ def main(argv=None):
     t0 = time.time()
     pipe = build_models(args)
     params = load_params(pipe, args)
+    if args.tp > 1:
+        from bindyouravatar_tpu.parallel.mesh import create_mesh
+        from bindyouravatar_tpu.parallel.tp import shard_params_tp
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[:args.tp])
+        params["dit"] = shard_params_tp(params["dit"], mesh)
+        print(f"[tp] DiT params sharded over {args.tp} chips")
+    if args.sp > 1:
+        import dataclasses as _dc
+
+        from jax.sharding import Mesh
+
+        pipe = _dc.replace(pipe, sp_mesh=Mesh(
+            np.asarray(jax.devices()[:args.sp]), ("sp",)))
+        print(f"[sp] ring attention over {args.sp} chips")
     dit = pipe.dit
     c = dit.cfg
 

@@ -148,3 +148,25 @@ def test_batch_driver_plumbing(tmp_path, monkeypatch):
     assert "--seed" in calls[0] and calls[0][calls[0].index("--seed") + 1] == "1"
     assert calls[1][calls[1].index("--seed") + 1] == "7"
     assert str(tmp_path / "out" / "001") in calls[0]
+
+
+def test_cli_tiny_tp2(tmp_path):
+    """infer.py --tp 2: TP-sharded serving path through the full CLI
+    (the conditioned flagship needs >=2 chips for weights)."""
+    import torch
+
+    import infer
+
+    a1 = str(tmp_path / "a1.pt")
+    a2 = str(tmp_path / "a2.pt")
+    for p in (a1, a2):
+        torch.save(torch.randn(13, 2, 16), p)
+
+    out = infer.main([
+        "--model_size", "tiny", "--tp", "2",
+        "--audio_path", a1, a2,
+        "--num_inference_steps", "2", "--num_frames", "9",
+        "--height", "128", "--width", "192",
+        "--seed", "3",
+        "--output_dir", str(tmp_path / "out_tp")])
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
