@@ -97,6 +97,11 @@ class AudioCrossAttnLayer(nn.Module):
     per-id features [B, I, S, D].  Q is computed once (shared across ids).
     """
     cfg: AudioConfig = AudioConfig()
+    # skip to_out: the caller combines identities with the (swapped-inverted)
+    # routing first and applies to_out once — linear, so exact, and halves
+    # the out-projection FLOPs (init always uses the default variant so the
+    # param tree keeps to_out)
+    return_pre_out: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -127,6 +132,8 @@ class AudioCrossAttnLayer(nn.Module):
         p = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
         o = jnp.einsum("bifhqk,bifkhd->bifqhd", p, v)
         o = o.reshape(b, n_id, s, inner)
+        if self.return_pre_out:
+            return o
         return nn.Dense(d, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(o)
 

@@ -125,6 +125,16 @@ class DiT:
                 dim_head=self.router_cfg.q_k_dim // self.router_cfg.num_heads,
                 heads=self.router_cfg.num_heads,
                 kv_dim=c.lfe_final_output_dim, **kw),
+            # apply() variants returning pre-out features: the routing
+            # combine happens BEFORE the output projection (linear => exact),
+            # halving the out-proj FLOPs and skipping [B,I,S,dim] HBM tensors
+            perceiver_pre=PerceiverCrossAttention(
+                dim=c.inner_dim,
+                dim_head=self.router_cfg.q_k_dim // self.router_cfg.num_heads,
+                heads=self.router_cfg.num_heads,
+                kv_dim=c.lfe_final_output_dim, return_pre_out=True, **kw),
+            audio_layer_pre=AudioCrossAttnLayer(self.audio_cfg,
+                                                return_pre_out=True, **kw),
             router_norms=RouterNorms(q_k_dim=self.router_cfg.q_k_dim,
                                      param_dtype=c.param_dtype),
             router_layer=MultiIPRouterLayerProj(q_k_dim=self.router_cfg.q_k_dim, **kw),
@@ -370,9 +380,9 @@ class DiT:
 
                 if c.is_train_face and face_emb is not None and j % c.cross_attn_interval == 0:
                     pj = j // c.cross_attn_interval
-                    id_feat, q, k = m["perceiver"].apply(
-                        {"params": _tree_at(group_xs["perceiver"], pj)},
-                        face_emb, hid_)
+                    pparams = _tree_at(group_xs["perceiver"], pj)
+                    id_pre, q, k = m["perceiver_pre"].apply(
+                        {"params": pparams}, face_emb, hid_)
                     q_flat, k_flat = fold_heads_to_flat(q, k)
                     qn, kn = m["router_norms"].apply(
                         {"params": params["router_norms"]}, q_flat, k_flat)
@@ -383,21 +393,29 @@ class DiT:
                     preds.append(pred)
                     used = pred if routing_override is None else routing_override
                     used = used.astype(c.dtype)
-                    inject = jnp.einsum("bsi,bisd->bsd", used, id_feat)
+                    # routing combine BEFORE to_out (no bias), then project once
+                    pre = jnp.einsum("bsi,bisd->bsd", used, id_pre)
+                    inject = pre @ pparams["to_out"]["kernel"].astype(c.dtype)
                     hid_ = hid_ + c.local_face_scale * inject
                     last_routing = used
 
                 if (c.is_train_audio and audio_ctx is not None
                         and j % c.audio_attn_interval == 0):
                     aj = j // c.audio_attn_interval
+                    aparams = _tree_at(group_xs["audio_layers"], aj)
                     av = jnp.einsum("bij,bsj->bsi",
                                     af_matrix.astype(c.dtype), last_routing)
-                    audio_feat = m["audio_layer"].apply(
-                        {"params": _tree_at(group_xs["audio_layers"], aj)},
-                        hid_, audio_ctx)
-                    # swap-and-invert (reference `transformer.py:899-900`)
+                    audio_pre = m["audio_layer_pre"].apply(
+                        {"params": aparams}, hid_, audio_ctx)
+                    # swap-and-invert (reference `transformer.py:899-900`),
+                    # combined BEFORE to_out; the bias scales by sum_i(inv)
                     inv = 1.0 - av[..., ::-1]
-                    hid_ = hid_ + jnp.einsum("bsi,bisd->bsd", inv, audio_feat)
+                    pre = jnp.einsum("bsi,bisd->bsd", inv, audio_pre)
+                    out = aparams["to_out"]
+                    inject = (pre @ out["kernel"].astype(c.dtype)
+                              + inv.sum(-1, keepdims=True)
+                              * out["bias"].astype(c.dtype))
+                    hid_ = hid_ + inject
 
             ys = jnp.stack(preds) if preds else None
             return (hid_, enc_, last_routing), ys

@@ -44,6 +44,10 @@ class PerceiverCrossAttention(nn.Module):
     dim_head: int = 128
     heads: int = 16
     kv_dim: int = 2048
+    # return features BEFORE to_out: the caller combines identities with the
+    # routing weights first and applies to_out ONCE (linear, so exact) —
+    # halves the out-projection FLOPs and skips the [B,I,S,dim] HBM tensor
+    return_pre_out: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -71,8 +75,9 @@ class PerceiverCrossAttention(nn.Module):
         p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         o = jnp.einsum("bihsk,bihkd->bihsd", p, v)
         o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_id, s, inner)
-        o = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_out")(o)
+        if not self.return_pre_out:
+            o = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="to_out")(o)
         return o, jax.lax.stop_gradient(q), jax.lax.stop_gradient(k)
 
 

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# scoped-VMEM budget for the kernels: the 16 MB default rejects the swept
+# 1536-block config (21.3 MB with rope tiles + double buffering); v5e has
+# 128 MB of VMEM
+VMEM_LIMIT = 48 * 1024 * 1024
 
 
 def _rope_tile(x, cos, sin):
@@ -222,6 +226,7 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(*inputs)
@@ -386,7 +391,8 @@ def _bwd_impl(q, k, v, o, lse, do, rope, sm_scale: float, kv_len: int,
         out_specs=[kv_spec_kv, kv_spec_kv],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*inputs_kv)
 
@@ -408,7 +414,8 @@ def _bwd_impl(q, k, v, o, lse, do, rope, sm_scale: float, kv_len: int,
         out_specs=q_spec_q,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*inputs_q)
 
@@ -539,8 +546,8 @@ def flash_attention(
     kv_len: Optional[int] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     rope_start: int = 0,
-    block_q: int = 2048,   # tuned on v5e: 58 TF/s bf16 @ S=17776, D=64
-    block_k: int = 1024,
+    block_q: int = 1536,   # swept on v5e (tools/kernel_bench.py): 57-59
+    block_k: int = 1536,   # TF/s bf16 @ S=18432, D=64, with/without rope
     interpret: Optional[bool] = None,
     layout: str = "bhsd",
 ) -> jnp.ndarray:
@@ -597,8 +604,9 @@ def flash_attention(
     s128 = _round_up(s, 128)
     if cos is not None:
         # the rope cos/sin tiles + double buffering exceed scoped VMEM at
-        # block_q=2048 (21.7M > 16M, measured)
-        block_q = min(block_q, 1024)
+        # block 2048 (21.7M > 16M, measured); 1536/1536 is the sweep optimum
+        block_q = min(block_q, 1536)
+        block_k = min(block_k, 1536)
     block_q = min(block_q, s128)
     block_k = min(block_k, s128)
     if block_q % block_k:

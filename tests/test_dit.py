@@ -154,3 +154,50 @@ def test_remat_matches(dit, params):
     o2, _ = dit_r.apply(params, inp["latents"], inp["text_embeds"], inp["timesteps"],
                         inp["rope"], **kw)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_combine_before_out_projection_is_exact():
+    """The injection combine moved BEFORE to_out (dit.py): linear, so it
+    must equal the naive per-identity projection + weighted sum — including
+    the audio to_out bias scaling by sum_i(inv)."""
+    from bindyouravatar_tpu.config import AudioConfig
+    from bindyouravatar_tpu.models.audio import AudioCrossAttnLayer
+    from bindyouravatar_tpu.models.router import PerceiverCrossAttention
+
+    kw = dict(dtype=jnp.float32, param_dtype=jnp.float32)
+    b, s, i = 2, 12, 2
+
+    # perceiver (no bias on to_out)
+    pca = PerceiverCrossAttention(dim=24, dim_head=4, heads=3, kv_dim=8, **kw)
+    pca_pre = PerceiverCrossAttention(dim=24, dim_head=4, heads=3, kv_dim=8,
+                                      return_pre_out=True, **kw)
+    face = jax.random.normal(jax.random.key(0), (b, i, 5, 8))
+    video = jax.random.normal(jax.random.key(1), (b, s, 24))
+    params = pca.init(jax.random.key(2), face, video)["params"]
+    routing = jax.random.uniform(jax.random.key(3), (b, s, i))
+
+    id_feat, _, _ = pca.apply({"params": params}, face, video)
+    naive = jnp.einsum("bsi,bisd->bsd", routing, id_feat)
+    pre, _, _ = pca_pre.apply({"params": params}, face, video)
+    fused = jnp.einsum("bsi,bisd->bsd", routing, pre) @ params["to_out"]["kernel"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+    # audio (to_out HAS a bias)
+    acfg = AudioConfig(dim=24, audio_dim=8, num_attention_heads=3,
+                       attention_head_dim=4, blocks=2, intermediate_dim=8,
+                       context_tokens=4, num_layers=1)
+    al = AudioCrossAttnLayer(acfg, **kw)
+    al_pre = AudioCrossAttnLayer(acfg, return_pre_out=True, **kw)
+    ctx = jax.random.normal(jax.random.key(4), (b, i, 3, 4, 8))
+    vid = jax.random.normal(jax.random.key(5), (b, 3 * 4, 24))
+    ap = al.init(jax.random.key(6), vid, ctx)["params"]
+    inv = jax.random.uniform(jax.random.key(7), (b, 3 * 4, i))
+
+    feat = al.apply({"params": ap}, vid, ctx)
+    naive = jnp.einsum("bsi,bisd->bsd", inv, feat)
+    pre = al_pre.apply({"params": ap}, vid, ctx)
+    fused = (jnp.einsum("bsi,bisd->bsd", inv, pre) @ ap["to_out"]["kernel"]
+             + inv.sum(-1, keepdims=True) * ap["to_out"]["bias"])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
