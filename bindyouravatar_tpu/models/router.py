@@ -103,21 +103,67 @@ class SelfAttention(nn.Module):
         dense = lambda name, d=self.dim: nn.Dense(
             d, use_bias=self.bias, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
-        q = dense("to_q")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
-        k = dense("to_k")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
-        v = dense("to_v")(x).reshape(b, s, self.heads, dh).transpose(0, 2, 1, 3)
+        # bshd layout end-to-end: the flash kernel reads the projections'
+        # natural [B, S, H, D] layout — no [B, H, S, D] HBM transposes
+        q = dense("to_q")(x).reshape(b, s, self.heads, dh)
+        k = dense("to_k")(x).reshape(b, s, self.heads, dh)
+        v = dense("to_v")(x).reshape(b, s, self.heads, dh)
         use_flash = dh % 64 == 0   # Mosaic lane width; tiny test dims -> SDPA
-        o = attention(q, k, v, use_flash=use_flash)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
+        o = attention(q, k, v, use_flash=use_flash, layout="bshd")
+        o = o.reshape(b, s, self.dim)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(o)
+
+
+class AxisAttention(nn.Module):
+    """Self-attention along ONE tiny axis of a [B, I, T, H, W, C] block via
+    the packed-head Pallas kernel: the sequence axis is transposed next to
+    the channels once, QKV project on C, heads split by reshape (free), and
+    scores/softmax/PV run entirely in VMEM with (seq, head) folded into one
+    MXU tile (`ops/packed_attention.py`).  XLA's layout for the [..., S, S]
+    fp32 score tensors (S = 13 or 2) pads their minor dims to (8k, 128)
+    tiles — a 10-60x blowup that made every softmax elementwise op
+    HBM-bound (measured ~18 ms of a 55 ms router invocation).  Same math
+    and the same param tree (to_q/to_k/to_v/to_out, bias) as
+    `SelfAttention` — checkpoints and importers are layout-agnostic.
+    """
+    dim: int
+    axis: int                     # 1 = multi-ID, 2 = temporal
+    heads: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.packed_attention import packed_head_attention
+
+        sh = x.shape
+        dh = self.dim // self.heads
+        perm = [j for j in range(5) if j != self.axis] + [self.axis, 5]
+        xt = x.transpose(perm)                      # [batch..., S, C]
+        s = xt.shape[-2]
+        m = int(np.prod(xt.shape[:-2]))
+        xf = xt.reshape(m, s, self.dim)
+        dense = lambda name: nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q = dense("to_q")(xf).reshape(m, s * self.heads, dh)
+        k = dense("to_k")(xf).reshape(m, s * self.heads, dh)
+        v = dense("to_v")(xf).reshape(m, s * self.heads, dh)
+        o = packed_head_attention(q, k, v, self.heads, dh ** -0.5)
+        o = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     name="to_out")(o.reshape(m, s, self.dim))
+        inv = list(np.argsort(perm))
+        return o.reshape(xt.shape).transpose(inv)
 
 
 class SpatialTemporalAttentionBlock(nn.Module):
     """Three factored self-attentions (spatial / temporal / multi-ID) + MLP.
 
     Mirrors reference `models/router.py:425-493`, with the real batch axis
-    folded into each attention's batch.
+    folded into each attention's batch.  Spatial (H*W=1350 tokens) routes
+    through the flash kernel; temporal (T=13) and multi-ID (I=2) use the
+    transpose-free `AxisAttention` einsums.
     """
     dim: int
     heads: int = 8
@@ -131,22 +177,22 @@ class SpatialTemporalAttentionBlock(nn.Module):
         b, i, t, h, w, c = x.shape
         spatial = SelfAttention(self.dim, self.heads, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="spatial_attn")
-        temporal = SelfAttention(self.dim, self.heads, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="temporal_attn")
-        multi_id = SelfAttention(self.dim, self.heads, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="multi_id_attn")
+        temporal = AxisAttention(self.dim, axis=2, heads=self.heads,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="temporal_attn")
+        multi_id = AxisAttention(self.dim, axis=1, heads=self.heads,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="multi_id_attn")
 
         xs = x.reshape(b * i * t, h * w, c)
         xs = LayerNorm(param_dtype=self.param_dtype, name="norm1")(xs)
         x = x + spatial(xs).reshape(b, i, t, h, w, c)
 
-        xt = x.transpose(0, 1, 3, 4, 2, 5).reshape(b * i * h * w, t, c)
-        xt = LayerNorm(param_dtype=self.param_dtype, name="norm2")(xt)
-        x = x + temporal(xt).reshape(b, i, h, w, t, c).transpose(0, 1, 4, 2, 3, 5)
+        xt = LayerNorm(param_dtype=self.param_dtype, name="norm2")(x)
+        x = x + temporal(xt)
 
-        xi = x.transpose(0, 2, 3, 4, 1, 5).reshape(b * t * h * w, i, c)
-        xi = LayerNorm(param_dtype=self.param_dtype, name="norm3")(xi)
-        x = x + multi_id(xi).reshape(b, t, h, w, i, c).transpose(0, 4, 1, 2, 3, 5)
+        xi = LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
+        x = x + multi_id(xi)
 
         y = LayerNorm(param_dtype=self.param_dtype, name="norm4")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
@@ -197,6 +243,24 @@ class MultiIPRouterLayerProj(nn.Module):
         return to_q(q_flat), to_k(k_flat)
 
 
+class MulReduceDense(nn.Module):
+    """Dense(1) computed as multiply+reduce.  A [.., S, 1] dot output pads
+    its minor dim 1 to 128 lanes (128x HBM write amplification); the
+    mul-reduce emits the squeezed [.., S] directly.  Param tree (kernel
+    [d, 1], bias [1]) is identical to nn.Dense — importers unchanged."""
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.lecun_normal(), (d, 1),
+                          self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (1,), self.param_dtype)
+        w = kern[:, 0].astype(self.dtype)
+        return (x.astype(self.dtype) * w).sum(-1) + bias[0].astype(self.dtype)
+
+
 class MultiIPRouterTrunk(nn.Module):
     """Shared router trunk: norms, re-attention, pos-emb, 4 STABs, head.
 
@@ -217,13 +281,19 @@ class MultiIPRouterTrunk(nn.Module):
         n_id, n_tok = k_proj.shape[1], k_proj.shape[2]
         dh = c.q_k_dim // c.num_heads
 
-        q = q_proj.reshape(b, s, c.num_heads, dh).transpose(0, 2, 1, 3)
-        k = k_proj.reshape(b, n_id, n_tok, c.num_heads, dh).transpose(0, 1, 3, 2, 4)
-
-        # re-attention features: [B, I, S, n_tok*heads]
-        feat = jnp.einsum("bhsd,bihkd->bihsk", q, k,
+        # re-attention features feat[b,i,s,(k*heads+h)] = per-head q.k scores
+        # (reference `router.py:385-390`).  Computed as ONE dense matmul
+        # against a head-block-diagonal expansion of k: the per-head einsum's
+        # [.., s, n_tok] output pads n_tok=32 to 128 lanes (4x fp32 HBM blow
+        # -up) and needs a transpose+convert to reach the [.., s, 512] packed
+        # layout — the dense form writes that layout directly, and the 16x
+        # extra MACs ride the MXU for ~0.5 ms (measured net ~-2.5 ms/call).
+        kx = jnp.repeat(k_proj.transpose(0, 1, 3, 2), c.num_heads, axis=-1)
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (c.q_k_dim, c.feat_dim), 0)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (c.q_k_dim, c.feat_dim), 1)
+        kx = kx * (fidx // dh == gidx % c.num_heads).astype(kx.dtype)
+        feat = jnp.einsum("bsf,bifg->bisg", q_proj, kx,
                           preferred_element_type=jnp.float32)
-        feat = feat.transpose(0, 1, 3, 4, 2).reshape(b, n_id, s, n_tok * c.num_heads)
         feat = feat.astype(self.dtype)
         feat = LayerNorm(param_dtype=self.param_dtype, name="norm")(feat)
 
@@ -238,9 +308,9 @@ class MultiIPRouterTrunk(nn.Module):
                 name=f"st_{li}")(feat)
 
         feat = feat.reshape(b, n_id, s, c.feat_dim)
-        logit = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="final_proj")(feat)          # [B, I, S, 1]
-        routing = jax.nn.sigmoid(logit.astype(jnp.float32))[..., 0]  # [B, I, S]
+        logit = MulReduceDense(dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="final_proj")(feat)     # [B, I, S]
+        routing = jax.nn.sigmoid(logit.astype(jnp.float32))  # [B, I, S]
         return routing.transpose(0, 2, 1)                   # [B, S, I]
 
 

@@ -572,6 +572,11 @@ def flash_attention(
         scale = d ** -0.5
     if kv_len is None:
         kv_len = s
+    # short sequences: shrink blocks to the lane-rounded length so the pad
+    # copy + in-kernel waste drop from (block - s)/s to <128/s (e.g. the
+    # router STAB's S=1350 spatial attention: 13.8% -> 4.3%)
+    block_q = min(block_q, _round_up(s, LANES))
+    block_k = min(block_k, _round_up(s, LANES))
 
     cos = sin = None
     if rope is not None:

@@ -1,0 +1,78 @@
+"""Packed-head tiny-sequence attention kernel vs its einsum spec."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.ops.packed_attention import (
+    _einsum_attention, _kernel, packed_head_attention)
+
+
+def _per_head_reference(q, k, v, heads, scale):
+    """Plain per-head attention (the semantics the packed mask must equal)."""
+    m, sh, d = q.shape
+    s = sh // heads
+    qs = q.reshape(m, s, heads, d)
+    ks = k.reshape(m, s, heads, d)
+    vs = v.reshape(m, s, heads, d)
+    sc = jnp.einsum("mahd,mbhd->mhab", qs, ks,
+                    preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(sc, axis=-1)
+    o = jnp.einsum("mhab,mbhd->mahd", p.astype(vs.dtype), vs)
+    return o.reshape(m, sh, d)
+
+
+@pytest.mark.parametrize("s,heads", [(13, 8), (2, 8), (5, 4)])
+def test_packed_mask_equals_per_head(s, heads):
+    d = 64
+    m = 24
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (m, s * heads, d), jnp.float32)
+               for kk in ks)
+    want = _per_head_reference(q, k, v, heads, d ** -0.5)
+    got = _einsum_attention(q, k, v, heads, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_interpret_matches_spec():
+    """The Pallas kernel body (interpret mode) vs the einsum spec."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    m, s, heads, d = 16, 13, 8, 64
+    sh = s * heads
+    ks = jax.random.split(jax.random.key(1), 3)
+    q, k, v = (jax.random.normal(kk, (m, sh, d), jnp.float32) for kk in ks)
+    spec = pl.BlockSpec((8, sh, d), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads, sm_scale=d ** -0.5),
+        grid=(m // 8,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, sh, d), q.dtype),
+        interpret=True,
+    )(q, k, v)
+    want = _einsum_attention(q, k, v, heads, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_attention_grads():
+    """custom_vjp backward equals autodiff through the einsum spec."""
+    m, s, heads, d = 8, 5, 4, 16
+    sh = s * heads
+    ks = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (jax.random.normal(kk, (m, sh, d), jnp.float32) for kk in ks)
+
+    f_kernel = lambda q, k, v: packed_head_attention(q, k, v, heads,
+                                                     d ** -0.5).sum()
+    f_spec = lambda q, k, v: _einsum_attention(q, k, v, heads,
+                                               d ** -0.5).sum()
+    g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_spec, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
