@@ -90,11 +90,42 @@ class AudioProjModel(nn.Module):
         return LayerNorm(param_dtype=self.param_dtype, name="norm")(x)
 
 
+class EinsumOutProj(nn.Module):
+    """to_out applied to the kernel's head-major [G, H, R, D] layout via one
+    einsum — no [G, R, H*D] head-merge transpose is materialised.  Param
+    tree (kernel [H*D, out], bias [out]) is identical to nn.Dense.
+    `bias_scale` scales the bias per query token (the identity-combined
+    path's bias is sum_i(w_i) * bias, PARITY divergence #10)."""
+    out_dim: int
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, o, bias_scale):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.heads * self.dim_head, self.out_dim),
+                          self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                          self.param_dtype)
+        w = kern.reshape(self.heads, self.dim_head,
+                         self.out_dim).astype(self.dtype)
+        y = jnp.einsum("ghqd,hdo->gqo", o, w)
+        return y + bias_scale[..., None] * bias.astype(self.dtype)
+
+
 class AudioCrossAttnLayer(nn.Module):
     """One per-DiT-layer audio cross-attention (frame-local).
 
-    video tokens [B, S, D] (S = F*HW), audio ctx [B, I, F, n_ctx, A] ->
-    per-id features [B, I, S, D].  Q is computed once (shared across ids).
+    video tokens [B, S, D] (S = F*HW), audio ctx [B, I, F, n_ctx, A].
+
+    With `weights` ([B, S, I], the swap-and-inverted routing) the whole
+    layer — frame-local attention, identity combine, out-projection with the
+    sum_i(w)-scaled bias — runs through the fused short-KV kernel and
+    returns the injection [B, S, D] directly.  Without weights, returns
+    per-id features [B, I, S, D] (reference contract,
+    `audio_model.py:223-270`).  Q is computed once (shared across ids).
     """
     cfg: AudioConfig = AudioConfig()
     # skip to_out: the caller combines identities with the (swapped-inverted)
@@ -106,7 +137,7 @@ class AudioCrossAttnLayer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, video, audio_ctx):
+    def __call__(self, video, audio_ctx, weights=None):
         c = self.cfg
         b, s, d = video.shape
         n_id, f, n_ctx = audio_ctx.shape[1], audio_ctx.shape[2], audio_ctx.shape[3]
@@ -122,6 +153,24 @@ class AudioCrossAttnLayer(nn.Module):
                      param_dtype=self.param_dtype, name="to_k")(audio_ctx)
         v = nn.Dense(inner, use_bias=True, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_v")(audio_ctx)
+
+        if weights is not None:
+            from ..ops.short_kv_attention import short_kv_attention_combined
+
+            qk = (q.reshape(b, f, hw, nh, dh).transpose(0, 1, 3, 2, 4)
+                  .reshape(b * f, nh, hw, dh))
+            kk = (k.reshape(b, n_id, f, n_ctx, nh, dh)
+                  .transpose(0, 2, 1, 4, 3, 5)
+                  .reshape(b * f, n_id, nh, n_ctx, dh))
+            vk = (v.reshape(b, n_id, f, n_ctx, nh, dh)
+                  .transpose(0, 2, 1, 4, 3, 5)
+                  .reshape(b * f, n_id, nh, n_ctx, dh))
+            wk = weights.astype(self.dtype).reshape(b * f, hw, n_id)
+            o = short_kv_attention_combined(qk, kk, vk, wk, dh ** -0.5)
+            inject = EinsumOutProj(d, nh, dh, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="to_out")(o, wk.sum(-1))
+            return inject.reshape(b, s, d)
 
         q = q.reshape(b, f, hw, nh, dh)
         k = k.reshape(b, n_id, f, n_ctx, nh, dh)

@@ -39,7 +39,7 @@ from .layers import (AdaLayerNorm, CogVideoXBlock, LayerNorm, PatchEmbed,
                      TimestepEmbedding)
 from .lfe import LocalFacialExtractor
 from .router import (MultiIPRouterLayerProj, MultiIPRouterTrunk, PerceiverCrossAttention,
-                     RouterNorms, fold_heads_to_flat)
+                     RouterNorms)
 
 import flax.linen as nn
 
@@ -381,9 +381,10 @@ class DiT:
                 if c.is_train_face and face_emb is not None and j % c.cross_attn_interval == 0:
                     pj = j // c.cross_attn_interval
                     pparams = _tree_at(group_xs["perceiver"], pj)
-                    id_pre, q, k = m["perceiver_pre"].apply(
+                    # id_pre [B,I,H,S,dh] (kernel layout); q/k flats feed the
+                    # router in their natural h-major packing (no transposes)
+                    id_pre, q_flat, k_flat = m["perceiver_pre"].apply(
                         {"params": pparams}, face_emb, hid_)
-                    q_flat, k_flat = fold_heads_to_flat(q, k)
                     qn, kn = m["router_norms"].apply(
                         {"params": params["router_norms"]}, q_flat, k_flat)
                     qp, kp = m["router_layer"].apply(
@@ -393,9 +394,13 @@ class DiT:
                     preds.append(pred)
                     used = pred if routing_override is None else routing_override
                     used = used.astype(c.dtype)
-                    # routing combine BEFORE to_out (no bias), then project once
-                    pre = jnp.einsum("bsi,bisd->bsd", used, id_pre)
-                    inject = pre @ pparams["to_out"]["kernel"].astype(c.dtype)
+                    # routing combine BEFORE to_out (no bias), then project
+                    # once straight from the head-major layout
+                    pre = jnp.einsum("bsi,bihsd->bhsd", used, id_pre)
+                    r = m["perceiver"].heads, m["perceiver"].dim_head
+                    wk = pparams["to_out"]["kernel"].astype(c.dtype).reshape(
+                        r[0], r[1], c.inner_dim)
+                    inject = jnp.einsum("bhsd,hdo->bso", pre, wk)
                     hid_ = hid_ + c.local_face_scale * inject
                     last_routing = used
 
@@ -405,17 +410,12 @@ class DiT:
                     aparams = _tree_at(group_xs["audio_layers"], aj)
                     av = jnp.einsum("bij,bsj->bsi",
                                     af_matrix.astype(c.dtype), last_routing)
-                    audio_pre = m["audio_layer_pre"].apply(
-                        {"params": aparams}, hid_, audio_ctx)
-                    # swap-and-invert (reference `transformer.py:899-900`),
-                    # combined BEFORE to_out; the bias scales by sum_i(inv)
+                    # swap-and-invert (reference `transformer.py:899-900`);
+                    # attention + identity combine + out-proj (bias scaled by
+                    # sum_i(inv)) all fused in the short-KV kernel
                     inv = 1.0 - av[..., ::-1]
-                    pre = jnp.einsum("bsi,bisd->bsd", inv, audio_pre)
-                    out = aparams["to_out"]
-                    inject = (pre @ out["kernel"].astype(c.dtype)
-                              + inv.sum(-1, keepdims=True)
-                              * out["bias"].astype(c.dtype))
-                    hid_ = hid_ + inject
+                    hid_ = hid_ + m["audio_layer"].apply(
+                        {"params": aparams}, hid_, audio_ctx, weights=inv)
 
             ys = jnp.stack(preds) if preds else None
             return (hid_, enc_, last_routing), ys

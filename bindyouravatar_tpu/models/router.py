@@ -37,8 +37,15 @@ class PerceiverCrossAttention(nn.Module):
     """Face feature injection attention.
 
     Inputs: face tokens [B, I, n_tok, kv_dim], video tokens [B, S, dim].
-    Returns (id_feat [B, I, S, dim], q [B, H, S, dh] (detached),
-    k [B, I, H, n_tok, dh] (detached)).
+    Returns (id_feat, q_flat [B, S, H*dh] (detached), k_flat
+    [B, I, n_tok, H*dh] (detached)); id_feat is [B, I, S, dim] normally or
+    the head-major kernel layout [B, I, H, S, dh] with `return_pre_out`.
+
+    The detached q/k hand-off to the router uses the projections' natural
+    h-major flat packing (f = h*dh + d) — NO [B,H,S,dh] -> flat transposes.
+    The reference flattens d-major (`router.py:375-378` permute(0,2,3,1));
+    weight importers absorb the difference as a row permutation of the
+    router's shared norms and per-layer projections (exact).
     """
     dim: int = 3072
     dim_head: int = 128
@@ -53,6 +60,8 @@ class PerceiverCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, face_tokens, video_tokens):
+        from ..ops.short_kv_attention import short_kv_attention
+
         b, n_id, n_tok, _ = face_tokens.shape
         s = video_tokens.shape[1]
         inner = self.dim_head * self.heads
@@ -60,25 +69,24 @@ class PerceiverCrossAttention(nn.Module):
         x = LayerNorm(param_dtype=self.param_dtype, name="norm1")(face_tokens)
         lat = LayerNorm(param_dtype=self.param_dtype, name="norm2")(video_tokens)
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_q")(lat)
+        q_flat = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="to_q")(lat)
         kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="to_kv")(x)
-        k, v = jnp.split(kv, 2, axis=-1)
+        k_flat, v_flat = jnp.split(kv, 2, axis=-1)
 
-        q = q.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)  # [B,H,S,dh]
-        k = k.reshape(b, n_id, n_tok, self.heads, self.dim_head).transpose(0, 1, 3, 2, 4)
-        v = v.reshape(b, n_id, n_tok, self.heads, self.dim_head).transpose(0, 1, 3, 2, 4)
+        q = q_flat.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k_flat.reshape(b, n_id, n_tok, self.heads,
+                           self.dim_head).transpose(0, 1, 3, 2, 4)
+        v = v_flat.reshape(b, n_id, n_tok, self.heads,
+                           self.dim_head).transpose(0, 1, 3, 2, 4)
 
-        scores = jnp.einsum("bhsd,bihkd->bihsk", q, k,
-                            preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
-        p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bihsk,bihkd->bihsd", p, v)
-        o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_id, s, inner)
+        o = short_kv_attention(q, k, v, self.dim_head ** -0.5)  # [B,I,H,S,dh]
         if not self.return_pre_out:
+            o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_id, s, inner)
             o = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="to_out")(o)
-        return o, jax.lax.stop_gradient(q), jax.lax.stop_gradient(k)
+        return o, jax.lax.stop_gradient(q_flat), jax.lax.stop_gradient(k_flat)
 
 
 class SelfAttention(nn.Module):
@@ -328,10 +336,14 @@ class RouterNorms(nn.Module):
 
 
 def fold_heads_to_flat(q: jnp.ndarray, k: jnp.ndarray):
-    """[B,H,S,dh]/[B,I,H,n,dh] -> flat [B,S,H*dh]/[B,I,n,H*dh]
-    (reference permute(0,2,3,1).reshape, `router.py:375-378`)."""
+    """[B,H,S,dh]/[B,I,H,n,dh] -> flat [B,S,H*dh]/[B,I,n,H*dh], h-MAJOR
+    packing (f = h*dh + d) — the projections' natural layout, which the
+    perceiver now hands to the router directly (no transposes).  The
+    reference flattens d-major (permute(0,2,3,1), `router.py:375-378`);
+    `import_router_modules` permutes the router's norm/projection rows so
+    imported weights see their expected packing (exact)."""
     b, hh, s, dh = q.shape
-    q_flat = q.transpose(0, 2, 3, 1).reshape(b, s, dh * hh)
+    q_flat = q.transpose(0, 2, 1, 3).reshape(b, s, dh * hh)
     bi, n_id, hh2, n, dh2 = k.shape
-    k_flat = k.transpose(0, 1, 3, 4, 2).reshape(bi, n_id, n, dh2 * hh2)
+    k_flat = k.transpose(0, 1, 3, 2, 4).reshape(bi, n_id, n, dh2 * hh2)
     return q_flat, k_flat

@@ -161,14 +161,34 @@ def import_face_modules(sd_or_path) -> Dict[str, Any]:
 
 
 # ------------------------------------------------------------------ #
-def import_router_modules(sd_or_path) -> Dict[str, Any]:
-    """router_modules.pt -> {'router_norms', 'router_layers', 'router_trunk'}."""
+def import_router_modules(sd_or_path, num_heads: int = 16) -> Dict[str, Any]:
+    """router_modules.pt -> {'router_norms', 'router_layers', 'router_trunk'}.
+
+    The reference flattens the perceiver's detached q/k d-MAJOR
+    (f_ref = d*H + h, `router.py:375-378`); our perceiver hands the router
+    the projections' natural h-MAJOR packing (f = h*dh + d, zero-transpose
+    hot path).  The shared input norms and the per-layer q/k projections are
+    the only packing-sensitive weights — permute their input rows once here
+    (exact)."""
     sd = _load(sd_or_path)
     norms = {"norm_q": _ln(sd, "norm_q"), "norm_k": _ln(sd, "norm_k")}
 
+    qk_dim = norms["norm_q"]["scale"].shape[0]
+    dh = qk_dim // num_heads
+    f_new = np.arange(qk_dim)
+    perm = (f_new % dh) * num_heads + f_new // dh   # f_ref for each f_new
+
+    def permute_rows(tree):
+        tree["kernel"] = tree["kernel"][perm]
+        return tree
+
+    for n in norms.values():
+        for key in ("scale", "bias"):
+            n[key] = n[key][perm]
+
     n_layers = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("to_q."))
-    layers = [{"to_q": _lin(sd, f"to_q.{i}", bias=False),
-               "to_k": _lin(sd, f"to_k.{i}", bias=False)}
+    layers = [{"to_q": permute_rows(_lin(sd, f"to_q.{i}", bias=False)),
+               "to_k": permute_rows(_lin(sd, f"to_k.{i}", bias=False))}
               for i in range(n_layers)]
 
     trunk: Dict[str, Any] = {"norm": _ln(sd, "norm")}

@@ -178,8 +178,10 @@ def test_combine_before_out_projection_is_exact():
 
     id_feat, _, _ = pca.apply({"params": params}, face, video)
     naive = jnp.einsum("bsi,bisd->bsd", routing, id_feat)
-    pre, _, _ = pca_pre.apply({"params": params}, face, video)
-    fused = jnp.einsum("bsi,bisd->bsd", routing, pre) @ params["to_out"]["kernel"]
+    pre, _, _ = pca_pre.apply({"params": params}, face, video)  # [b,i,h,s,dh]
+    wk = params["to_out"]["kernel"].reshape(3, 4, 24)
+    fused = jnp.einsum("bhsd,hdo->bso",
+                       jnp.einsum("bsi,bihsd->bhsd", routing, pre), wk)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
                                atol=1e-5, rtol=1e-5)
 
@@ -196,8 +198,15 @@ def test_combine_before_out_projection_is_exact():
 
     feat = al.apply({"params": ap}, vid, ctx)
     naive = jnp.einsum("bsi,bisd->bsd", inv, feat)
-    pre = al_pre.apply({"params": ap}, vid, ctx)
-    fused = (jnp.einsum("bsi,bisd->bsd", inv, pre) @ ap["to_out"]["kernel"]
-             + inv.sum(-1, keepdims=True) * ap["to_out"]["bias"])
+    # fused path: attention + combine + out-proj (bias scaled by sum_i inv)
+    # in one call through the short-KV kernel (einsum spec off-TPU)
+    fused = al.apply({"params": ap}, vid, ctx, weights=inv)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+    # pre-out per-id layout stays available (API parity)
+    pre = al_pre.apply({"params": ap}, vid, ctx)
+    fused2 = (jnp.einsum("bsi,bisd->bsd", inv, pre) @ ap["to_out"]["kernel"]
+              + inv.sum(-1, keepdims=True) * ap["to_out"]["bias"])
+    np.testing.assert_allclose(np.asarray(fused2), np.asarray(naive),
                                atol=1e-5, rtol=1e-5)

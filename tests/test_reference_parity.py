@@ -112,9 +112,13 @@ def test_perceiver_cross_attention_parity():
     for i in range(n_id):
         np.testing.assert_allclose(np.asarray(o[0, i]), outs[i][0],
                                    atol=1e-4, rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(q[0]), qs[i][0],
+        # ours returns h-major flats (f = h*dh + d); the reference returns
+        # [b, h, s, dh] — fold it the same way for comparison
+        want_q = qs[i][0].transpose(1, 0, 2).reshape(s, heads * dh)
+        np.testing.assert_allclose(np.asarray(q[0]), want_q,
                                    atol=1e-4, rtol=1e-4)   # q is id-independent
-        np.testing.assert_allclose(np.asarray(k[0, i]), ks[i][0],
+        want_k = ks[i][0].transpose(1, 0, 2).reshape(n_tok, heads * dh)
+        np.testing.assert_allclose(np.asarray(k[0, i]), want_k,
                                    atol=1e-4, rtol=1e-4)
 
 
@@ -239,7 +243,7 @@ def test_multi_ip_router_full_parity():
 
     rcfg = RouterConfig(num_id_token=n_tok, num_heads=heads,
                         num_layers=n_layers, q_k_dim=qk)
-    tree = imp.import_router_modules(_sd(ref))
+    tree = imp.import_router_modules(_sd(ref), num_heads=heads)
     q_flat, k_flat = fold_heads_to_flat(
         jnp.asarray(_np(q_row)), jnp.asarray(_np(k_out))[None])
     qn, kn = RouterNorms(q_k_dim=qk).apply(
