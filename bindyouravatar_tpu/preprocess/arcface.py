@@ -106,6 +106,63 @@ class ArcFaceEmbedder:
         return self.model.apply({"params": params}, images)
 
 
+def import_arcface_weights(sd_or_path) -> Dict[str, Any]:
+    """insightface arcface_torch `iresnet100` state dict -> flax params.
+
+    The reference embeds identities with `glintr100.onnx` through
+    onnxruntime (`/root/reference/infer.py:268`); the torch training
+    checkpoints of the same IR-100 architecture (insightface arcface_torch)
+    use the key layout imported here.  The final fc consumes the NCHW
+    flatten (c*49 + y*7 + x); ours flattens NHWC — absorbed as a row
+    permutation of the fc kernel (exact).
+    """
+    sd = sd_or_path
+    if isinstance(sd, str):
+        import torch
+
+        sd = torch.load(sd, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k: v.numpy() for k, v in sd.items()}
+    sd = {k.replace("module.", ""): np.asarray(v, np.float32)
+          for k, v in sd.items() if "num_batches" not in k}
+
+    def bn(p):
+        return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"],
+                "mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]}
+
+    def conv(key):
+        return {"kernel": sd[key].transpose(2, 3, 1, 0)}
+
+    params: Dict[str, Any] = {
+        "conv1": conv("conv1.weight"),
+        "bn1": bn("bn1"),
+        "prelu1": {"alpha": sd["prelu.weight"]},
+        "bn2": bn("bn2"),
+    }
+    for si, n in enumerate(IR100_LAYERS):
+        for bi in range(n):
+            p = f"layer{si + 1}.{bi}"
+            blk = {"bn1": bn(f"{p}.bn1"),
+                   "conv1": conv(f"{p}.conv1.weight"),
+                   "bn2": bn(f"{p}.bn2"),
+                   "prelu": {"alpha": sd[f"{p}.prelu.weight"]},
+                   "conv2": conv(f"{p}.conv2.weight"),
+                   "bn3": bn(f"{p}.bn3")}
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = conv(f"{p}.downsample.0.weight")
+                blk["downsample_bn"] = bn(f"{p}.downsample.1")
+            params[f"layer{si + 1}_{bi}"] = blk
+
+    # fc: torch flattens NCHW (c, y, x); ours flattens NHWC (y, x, c)
+    w = sd["fc.weight"].T                       # [512*7*7 rows (c,y,x), 512]
+    c, hw = 512, 7
+    rows = w.reshape(c, hw, hw, -1).transpose(1, 2, 0, 3).reshape(c * hw * hw, -1)
+    params["fc"] = {"kernel": rows, "bias": sd["fc.bias"]}
+    params["features"] = bn("features")
+    return jax.tree.map(jnp.asarray, params)
+
+
 class HashEmbedder:
     """Deterministic fallback identity embedder (no weights available):
     a fixed random projection of 16x16 downsampled pixels.  Stable across

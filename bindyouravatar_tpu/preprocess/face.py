@@ -76,14 +76,25 @@ class DetectedFace:
 
 class FaceDetector:
     """Pluggable detection.  Backends:
+      * 'retinaface': the native flax RetinaFace-ResNet50 port
+        (`preprocess/retinaface.py`, weight parity with facexlib's
+        `detection_Resnet50_Final.pth` — the reference's detector,
+        `/root/reference/infer.py:240-248`)
       * 'yunet': cv2.FaceDetectorYN when a model file is supplied
       * 'fullframe': the whole image is one face (pre-cropped assets)
     """
 
-    def __init__(self, backend: str = "auto", yunet_model: Optional[str] = None):
+    def __init__(self, backend: str = "auto", yunet_model: Optional[str] = None,
+                 retinaface_checkpoint: Optional[str] = None):
         self.backend = backend
         self._yunet = None
-        if yunet_model:
+        self._retina = None
+        if retinaface_checkpoint:
+            from .retinaface import load_retinaface_detector
+
+            self._retina = load_retinaface_detector(retinaface_checkpoint)
+            self.backend = "retinaface"
+        elif yunet_model:
             import cv2
 
             self._yunet = cv2.FaceDetectorYN.create(yunet_model, "", (320, 320))
@@ -93,6 +104,8 @@ class FaceDetector:
 
     def __call__(self, image: np.ndarray) -> List[DetectedFace]:
         h, w = image.shape[:2]
+        if self.backend == "retinaface" and self._retina is not None:
+            return self._retina(image)
         if self.backend == "yunet" and self._yunet is not None:
             import cv2
 
@@ -223,8 +236,18 @@ class FaceProcessor:
         }
 
 
-def build_default_processor(eva=None, eva_params=None, seed: int = 0) -> FaceProcessor:
-    """Wire the EVA-CLIP tower (jitted JAX) + available id embedder."""
+def build_default_processor(eva=None, eva_params=None, seed: int = 0,
+                            retinaface_checkpoint: Optional[str] = None,
+                            bisenet_checkpoint: Optional[str] = None,
+                            arcface_checkpoint: Optional[str] = None
+                            ) -> FaceProcessor:
+    """Wire the EVA-CLIP tower (jitted JAX) + available id embedder.
+
+    When the facexlib/insightface checkpoints are supplied the stack matches
+    the reference's exactly: RetinaFace-ResNet50 detection, BiSeNet parsing
+    whiteout, ArcFace IR-100 embedding (`/root/reference/infer.py:240-270`).
+    Each backend independently falls back when absent (zero-egress images).
+    """
     import jax
 
     if eva is None:
@@ -235,9 +258,29 @@ def build_default_processor(eva=None, eva_params=None, seed: int = 0) -> FacePro
         eva_params = eva.init(jax.random.key(seed))
     eva_fn = jax.jit(lambda img: eva.apply(eva_params, img))
 
-    from .arcface import HashEmbedder
+    detector = FaceDetector(retinaface_checkpoint=retinaface_checkpoint)
+
+    face_parser = None
+    if bisenet_checkpoint:
+        from .bisenet import load_bisenet_parser
+
+        face_parser = load_bisenet_parser(bisenet_checkpoint)
+
+    if arcface_checkpoint:
+        from .arcface import ArcFaceEmbedder, import_arcface_weights
+
+        emb = ArcFaceEmbedder()
+        arc_params = import_arcface_weights(arcface_checkpoint)
+        arc_fn = jax.jit(lambda img: emb.apply(arc_params, img))
+        arcface = lambda img: np.asarray(arc_fn(np.asarray(img, np.float32)))
+    else:
+        from .arcface import HashEmbedder
+
+        arcface = HashEmbedder()
 
     return FaceProcessor(
         eva_apply=lambda img: eva_fn(np.asarray(img, np.float32)),
-        arcface=HashEmbedder(),
+        arcface=arcface,
+        detector=detector,
+        face_parser=face_parser,
         eva_size=eva.cfg.image_size)

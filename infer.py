@@ -36,6 +36,13 @@ def get_args(argv=None):
                    help="reference face_modules.pt")
     p.add_argument("--reference_router_modules", type=str, default=None,
                    help="reference router_modules.pt")
+    # face preprocessing stack weights (reference infer.py:240-270 parity)
+    p.add_argument("--retinaface_checkpoint", type=str, default=None,
+                   help="facexlib detection_Resnet50_Final.pth")
+    p.add_argument("--bisenet_checkpoint", type=str, default=None,
+                   help="facexlib parsing_bisenet.pth (background whiteout)")
+    p.add_argument("--arcface_checkpoint", type=str, default=None,
+                   help="insightface IR-100 torch checkpoint (glintr100)")
     p.add_argument("--num_layers", type=int, default=42)
     p.add_argument("--model_size", choices=["tiny", "5b"], default="5b")
     # inputs (reference flags :456-499)
@@ -176,7 +183,10 @@ def main(argv=None):
         assert len(args.img_file_path) == 2, "expect exactly 2 face images"
         import cv2
 
-        proc = build_default_processor()
+        proc = build_default_processor(
+            retinaface_checkpoint=args.retinaface_checkpoint,
+            bisenet_checkpoint=args.bisenet_checkpoint,
+            arcface_checkpoint=args.arcface_checkpoint)
         imgs = [cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
                 for p in args.img_file_path]
         split = proc.process_split(imgs, (args.height, args.width))
