@@ -1,0 +1,231 @@
+"""Request-level serving around the jitted pipeline (SURVEY §7.9 superset).
+
+The reference has no serving story — `infer.py` is a one-shot script and
+`tools/batch_run_samples.py` a sequential batch driver.  For production TPU
+serving the expensive resources are (a) the compiled denoise loop (first
+compile is minutes) and (b) the chip itself, which must never sit idle
+waiting on host-side preprocessing.
+
+`InferenceServer` owns one pipeline + param tree (optionally TP-sharded via
+`infer.py --tp`'s `shard_params_tp`) and runs a two-stage pipeline over a
+request queue:
+
+  * a PREP thread does the host-side work of request n+1 — conditioning
+    prep (LFE + audio window projection, once per clip), latent encode,
+    `device_put` of every tensor — while the device denoises request n
+    (JAX async dispatch: `denoise` returns futures, so the overlap is a
+    property of ordering, not of explicit streams);
+  * the COMPUTE loop dequeues prepared requests, launches denoise+decode,
+    and only then blocks fetching the previous result.
+
+Every request records per-stage wall timings (`result.timings`) so serving
+regressions are measurable.  `serve_http` exposes the server over a
+minimal stdlib HTTP/JSON endpoint (arrays travel as .npy paths — this
+image has no web framework and needs none).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    """One clip-generation request (tensor contract = `pipeline.generate`)."""
+    prompt_embeds: np.ndarray                 # [1, L, text_dim]
+    image: np.ndarray                         # [1, 1, 3, H, W] in [-1, 1]
+    negative_prompt_embeds: Optional[np.ndarray] = None
+    id_cond: Optional[np.ndarray] = None
+    id_vit_hidden: Optional[np.ndarray] = None
+    audio_embeds: Optional[np.ndarray] = None
+    mute_embeds: Optional[np.ndarray] = None
+    af_matrix: Optional[np.ndarray] = None
+    forced_routing: Optional[np.ndarray] = None
+    seed: int = 0
+    decode: bool = True
+    request_id: str = ""
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    request_id: str
+    video: np.ndarray                         # [1, T, 3, H, W] (or latents)
+    timings: Dict[str, float]
+
+
+class InferenceServer:
+    """Double-buffered request server over one compiled pipeline."""
+
+    def __init__(self, pipeline, params: Dict[str, Any],
+                 max_queue: int = 64, warmup: bool = False):
+        self.pipeline = pipeline
+        self.params = params
+        self._submit_q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._ready_q: "queue.Queue" = queue.Queue(maxsize=1)  # double buffer
+        self._stop = threading.Event()
+        self._prep_thread = threading.Thread(target=self._prep_loop,
+                                             daemon=True)
+        self._compute_thread = threading.Thread(target=self._compute_loop,
+                                                daemon=True)
+        self.requests_served = 0
+        if warmup:
+            self.pipeline._jitted_loop(self.pipeline.cfg.num_inference_steps,
+                                       self.pipeline.cfg.guidance_scale)
+        self._prep_thread.start()
+        self._compute_thread.start()
+
+    # ------------------------------------------------------------ public
+    def submit(self, req: GenerationRequest) -> "Future[GenerationResult]":
+        fut: "Future[GenerationResult]" = Future()
+        self._submit_q.put((req, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._submit_q.put(None)
+        self._prep_thread.join(timeout=30)
+        self._ready_q.put(None)
+        self._compute_thread.join(timeout=120)
+
+    # ------------------------------------------------------------ stages
+    def _prep_loop(self):
+        """Host-side stage: conditioning prep + device transfer of request
+        n+1 overlaps the device denoise of request n (the ready queue is
+        depth-1: a classic double buffer)."""
+        while not self._stop.is_set():
+            item = self._submit_q.get()
+            if item is None:
+                return
+            req, fut = item
+            if fut.cancelled():
+                continue
+            t0 = time.perf_counter()
+            try:
+                staged = self._prepare(req)
+            except Exception as e:   # noqa: BLE001 — surfaced via the future
+                fut.set_exception(e)
+                continue
+            self._ready_q.put((req, fut, staged, time.perf_counter() - t0))
+
+    def _prepare(self, req: GenerationRequest) -> Dict[str, Any]:
+        pipe = self.pipeline
+        dev = lambda x: None if x is None else jax.device_put(jnp.asarray(x))
+        pe = dev(req.prompt_embeds)
+        neg = (dev(req.negative_prompt_embeds)
+               if req.negative_prompt_embeds is not None
+               else jnp.zeros_like(pe))
+        cond: Dict[str, Any] = {}
+        dit = pipe.dit
+        if dit.cfg.is_train_face and req.id_cond is not None:
+            cond["id_cond"] = dev(req.id_cond)
+            cond["id_vit_hidden"] = dev(req.id_vit_hidden)
+        if dit.cfg.is_train_audio and req.audio_embeds is not None:
+            cond["audio_embeds"] = dev(req.audio_embeds)
+            if req.mute_embeds is not None:
+                cond["mute_embeds"] = dev(req.mute_embeds)
+        if req.af_matrix is not None:
+            cond["af_matrix"] = dev(req.af_matrix)
+        if req.forced_routing is not None:
+            cond["routing_forcing"] = dev(req.forced_routing)
+        return dict(prompt_embeds=pe, negative_prompt_embeds=neg,
+                    image=dev(req.image), cond=cond)
+
+    def _compute_loop(self):
+        while True:
+            item = self._ready_q.get()
+            if item is None:
+                return
+            req, fut, staged, prep_s = item
+            if fut.cancelled():
+                continue
+            t0 = time.perf_counter()
+            try:
+                out = self.pipeline.generate(
+                    self.params, staged["prompt_embeds"],
+                    staged["negative_prompt_embeds"], staged["image"],
+                    jax.random.key(req.seed), decode=req.decode,
+                    **staged["cond"])
+                video = np.asarray(out)        # blocks: fetch result
+            except Exception as e:   # noqa: BLE001 — surfaced via the future
+                fut.set_exception(e)
+                continue
+            self.requests_served += 1
+            fut.set_result(GenerationResult(
+                request_id=req.request_id, video=video,
+                timings={"prep_s": prep_s,
+                         "compute_s": time.perf_counter() - t0}))
+
+
+# ---------------------------------------------------------------- HTTP
+def serve_http(server: InferenceServer, host: str = "127.0.0.1",
+               port: int = 8976, block: bool = True):
+    """Minimal stdlib HTTP front-end.
+
+    POST /generate with JSON {"prompt_embeds": "<path.npy>", "image":
+    "<path.npy>", optional conditioning paths, "seed": int, "output":
+    "<path.npy>"} -> {"request_id", "output", "timings"}.  GET /healthz ->
+    {"ok": true, "served": n}.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    ARRAY_FIELDS = ("prompt_embeds", "negative_prompt_embeds", "image",
+                    "id_cond", "id_vit_hidden", "audio_embeds",
+                    "mute_embeds", "af_matrix", "forced_routing")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet
+            pass
+
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "served": server.requests_served})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                spec = json.loads(self.rfile.read(n) or b"{}")
+                kw = {f: np.load(spec[f]) for f in ARRAY_FIELDS if f in spec}
+                req = GenerationRequest(
+                    seed=int(spec.get("seed", 0)),
+                    request_id=str(spec.get("request_id", "")),
+                    decode=bool(spec.get("decode", True)), **kw)
+                result = server.submit(req).result(
+                    timeout=float(spec.get("timeout_s", 3600)))
+                out_path = spec.get("output", "/tmp/bya_out.npy")
+                np.save(out_path, result.video)
+                self._reply(200, {"request_id": result.request_id,
+                                  "output": out_path,
+                                  "timings": result.timings})
+            except Exception as e:   # noqa: BLE001 — JSON error surface
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        httpd.serve_forever()
+    else:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

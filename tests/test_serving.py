@@ -1,0 +1,106 @@
+"""Serving layer: double-buffered request server + HTTP front-end."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bindyouravatar_tpu.config import PipelineConfig, VAEConfig
+from bindyouravatar_tpu.models.dit import DiT
+from bindyouravatar_tpu.models.vae import CausalVAE
+from bindyouravatar_tpu.pipeline.pipeline import BindYourAvatarPipeline
+from bindyouravatar_tpu.serving import (GenerationRequest, InferenceServer,
+                                        serve_http)
+
+
+@pytest.fixture(scope="module")
+def served():
+    dit = DiT.tiny(in_channels=8, out_channels=4)
+    vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16),
+                              layers_per_block=1, latent_channels=4,
+                              norm_num_groups=4, dtype=jnp.float32))
+    pipe = BindYourAvatarPipeline.create(
+        dit, vae, PipelineConfig(height=dit.cfg.sample_height * 8,
+                                 width=dit.cfg.sample_width * 8,
+                                 num_frames=dit.cfg.sample_frames,
+                                 num_inference_steps=2, guidance_scale=6.0))
+    params = {"dit": dit.init(jax.random.key(0)),
+              "vae": vae.init(jax.random.key(1))}
+    server = InferenceServer(pipe, params)
+    yield server, pipe
+    server.close()
+
+
+def _request(pipe, seed=0, rid="r0"):
+    c = pipe.dit.cfg
+    rng = np.random.default_rng(seed)
+    a = pipe.dit.audio_cfg
+    n_af = c.sample_frames + a.window_size - a.window_stride
+    return GenerationRequest(
+        prompt_embeds=rng.normal(size=(1, c.max_text_seq_length,
+                                       c.text_embed_dim)).astype(np.float32),
+        image=rng.uniform(-1, 1, (1, 1, 3, c.sample_height * 8,
+                                  c.sample_width * 8)).astype(np.float32),
+        id_cond=rng.normal(size=(1, c.num_ids,
+                                 pipe.dit.lfe_cfg.id_embed_dim)).astype(np.float32),
+        id_vit_hidden=rng.normal(size=(1, c.num_ids, pipe.dit.lfe_cfg.num_scales,
+                                       9, pipe.dit.lfe_cfg.vit_dim)).astype(np.float32),
+        audio_embeds=rng.normal(size=(1, 2, n_af, a.blocks,
+                                      a.audio_dim)).astype(np.float32),
+        af_matrix=np.eye(c.num_ids, dtype=np.float32)[None],
+        seed=seed, request_id=rid)
+
+
+def test_server_pipelines_requests(served):
+    server, pipe = served
+    c = pipe.dit.cfg
+    futs = [server.submit(_request(pipe, seed=i, rid=f"r{i}"))
+            for i in range(3)]
+    results = [f.result(timeout=600) for f in futs]
+    for i, r in enumerate(results):
+        assert r.request_id == f"r{i}"
+        assert r.video.shape == (1, c.sample_frames, 3,
+                                 c.sample_height * 8, c.sample_width * 8)
+        assert np.isfinite(r.video).all()
+        assert set(r.timings) == {"prep_s", "compute_s"}
+    # same seed -> deterministic, different seed -> different
+    r0b = server.submit(_request(pipe, seed=0)).result(timeout=600)
+    np.testing.assert_allclose(r0b.video, results[0].video, atol=1e-5)
+    assert np.abs(results[1].video - results[0].video).max() > 1e-4
+    assert server.requests_served >= 4
+
+
+def test_http_endpoint(served, tmp_path):
+    server, pipe = served
+    httpd = serve_http(server, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"] is True
+
+        req = _request(pipe, seed=3, rid="http0")
+        spec = {"seed": 3, "request_id": "http0",
+                "output": str(tmp_path / "out.npy")}
+        for f in ("prompt_embeds", "image", "id_cond", "id_vit_hidden",
+                  "audio_embeds", "af_matrix"):
+            path = tmp_path / f"{f}.npy"
+            np.save(path, getattr(req, f))
+            spec[f] = str(path)
+        body = json.dumps(spec).encode()
+        http_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(http_req, timeout=600) as r:
+            out = json.load(r)
+        assert out["request_id"] == "http0"
+        video = np.load(out["output"])
+        assert np.isfinite(video).all()
+        c = pipe.dit.cfg
+        assert video.shape == (1, c.sample_frames, 3,
+                               c.sample_height * 8, c.sample_width * 8)
+    finally:
+        httpd.shutdown()

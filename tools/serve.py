@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Serve the pipeline over HTTP (superset — the reference has no server).
+
+Builds the model exactly like `infer.py` (same flags: checkpoints, --tp
+tensor-parallel sharding, --sp ring attention, tiny/5b sizes), wraps it in
+the double-buffered `InferenceServer`, and exposes the stdlib JSON/npy
+endpoint from `bindyouravatar_tpu.serving`:
+
+    python tools/serve.py --model_size tiny --port 8976 &
+    curl -s localhost:8976/healthz
+    curl -s -X POST localhost:8976/generate -d '{"prompt_embeds": "pe.npy",
+        "image": "img.npy", "seed": 1, "output": "out.npy"}'
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    from infer import build_models, load_params, parse_args
+
+    args = parse_args(argv)
+    port = int(os.environ.get("BYA_SERVE_PORT", "8976"))
+
+    import jax
+
+    from bindyouravatar_tpu.serving import InferenceServer, serve_http
+
+    pipe = build_models(args)
+    params = load_params(pipe, args)
+    if args.tp > 1:
+        from bindyouravatar_tpu.parallel.mesh import create_mesh
+        from bindyouravatar_tpu.parallel.tp import shard_params_tp
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[:args.tp])
+        params["dit"] = shard_params_tp(params["dit"], mesh)
+        print(f"[tp] DiT params sharded over {args.tp} chips")
+
+    server = InferenceServer(pipe, params, warmup=True)
+    print(f"[serve] listening on :{port} "
+          f"(steps={args.num_inference_steps}, size={args.model_size})")
+    serve_http(server, host="0.0.0.0", port=port, block=True)
+
+
+if __name__ == "__main__":
+    main()
