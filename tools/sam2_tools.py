@@ -6,9 +6,10 @@ directory layout the trainer and two-stage inference consume
 (`utils/masks.masks_to_routing_logits`).
 
 Backends:
-  * SAM-2.1 video predictor when the package + weights are installed
-    (same behavior as the reference: detect exactly 2 faces on frame 0,
-    sort left->right, propagate);
+  * the NATIVE flax SAM-2.1 video predictor (`preprocess/sam2_video.py`)
+    when a checkpoint is supplied via --sam2_checkpoint / BYA_SAM2_CKPT
+    (same behavior as the reference `tools/sam2_tools.py:93-149`: detect
+    faces on frame 0, sort left->right, point-prompt, propagate);
   * a dependency-free motion/face-region fallback (background subtraction
     + left/right split) so the two-stage pipeline stays exercisable in
     weightless environments — masks are coarse but contract-correct.
@@ -24,13 +25,8 @@ import sys
 import numpy as np
 
 
-def _have_sam2() -> bool:
-    try:
-        import sam2  # noqa: F401
-
-        return True
-    except Exception:
-        return False
+def _sam2_checkpoint(args_ckpt=None):
+    return args_ckpt or os.environ.get("BYA_SAM2_CKPT")
 
 
 def fallback_masks(frames: np.ndarray) -> np.ndarray:
@@ -52,11 +48,40 @@ def fallback_masks(frames: np.ndarray) -> np.ndarray:
     return masks
 
 
-def sam2_masks(frames: np.ndarray) -> np.ndarray:  # pragma: no cover - optional dep
-    """SAM-2.1 hiera-large video propagation from 2 detected faces."""
-    raise NotImplementedError(
-        "sam2 package present but weight wiring not configured; "
-        "set BYA_SAM2_CKPT and extend this hook")
+def sam2_masks(frames: np.ndarray, checkpoint: str) -> np.ndarray:
+    """Native SAM-2.1 video propagation from faces detected on frame 0
+    (reference flow: FaceAnalysis kps -> point prompts -> propagate)."""
+    import cv2
+
+    from bindyouravatar_tpu.preprocess.face import FaceDetector
+    from bindyouravatar_tpu.preprocess.sam2_video import load_sam2_predictor
+
+    t, h, w = frames.shape[:3]
+    predictor = load_sam2_predictor(checkpoint)
+    state = predictor.init_state(frames)
+
+    faces = FaceDetector(retinaface_checkpoint=os.environ.get(
+        "BYA_RETINAFACE_CKPT"))(frames[0])
+    if len(faces) < 2:   # fall back to left/right face-ish prompts
+        pts = [np.array([[w * 0.3, h * 0.4]]), np.array([[w * 0.7, h * 0.4]])]
+    else:
+        pts = [np.asarray([[f.bbox[:2].mean() if f.landmarks is None
+                            else f.landmarks[2, 0],
+                            (f.bbox[1] + f.bbox[3]) / 2 if f.landmarks is None
+                            else f.landmarks[2, 1]]])
+               for f in faces[:2]]
+    for oid, p in enumerate(pts, start=1):
+        predictor.add_new_points(state, 0, oid, p.astype(np.float32),
+                                 np.array([1]))
+
+    size4 = predictor.cfg.image_size // 4
+    masks = np.zeros((2, t, h, w), np.uint8)
+    for fi, ids, logits in predictor.propagate_in_video(state):
+        for j, _ in enumerate(ids[:2]):
+            m = (logits[j] > 0).astype(np.uint8)
+            masks[j, fi] = cv2.resize(m, (w, h),
+                                      interpolation=cv2.INTER_NEAREST)
+    return masks
 
 
 def write_masks(masks: np.ndarray, out_dir: str) -> None:
@@ -77,6 +102,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--video", required=True)
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="sam2.1 .pt checkpoint for the native predictor "
+                        "(default: $BYA_SAM2_CKPT; fallback masks if unset)")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -89,8 +117,9 @@ def main():
     cap.release()
     frames = read_video_frames(args.video, list(range(n)))
 
-    if _have_sam2():
-        masks = sam2_masks(frames)
+    ckpt = _sam2_checkpoint(args.sam2_checkpoint)
+    if ckpt:
+        masks = sam2_masks(frames, ckpt)
     else:
         masks = fallback_masks(frames)
     write_masks(masks, args.out_dir)
