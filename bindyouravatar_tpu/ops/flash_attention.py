@@ -64,16 +64,15 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     else:
         q_ref, k_ref, v_ref, *rest = refs
     if save_residuals:
-        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+        o_ref, lse_ref, m_ref, acc_ref = rest
     else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        o_ref, m_ref, acc_ref = rest
 
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = _tile(q_ref, bshd)  # [bq, d]
@@ -81,10 +80,13 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     if has_rope:
         q = _rope_tile(q, cq_ref[...], sq_ref[...])
         k = _rope_tile(k, ck_ref[...], sk_ref[...])
+    # fold the softmax scale into the [bq, d] q tile — scaling the [bq, bk]
+    # fp32 score tile instead costs a full VPU pass per block (bk/d = 24x
+    # more elements; the kernel is VPU-bound)
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    s = s * sm_scale
 
     # mask trailing padded kv positions (kv_len is compile-time; the branch
     # is static per-kernel, the per-block column check is traced)
@@ -93,28 +95,31 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         s = jnp.where(cols < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:, :1]                      # [bq, 1]
-    l_prev = l_ref[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - m_next)                    # [bq, bk] fp32
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
+    # row-sum of p rides the PV matmul: v is lane-padded 64 -> 128 on the
+    # MXU anyway, so a ones column at index d makes acc[:, d] the softmax
+    # normaliser for free — the [bq, bk] fp32 VPU reduction disappears
+    # (the kernel is VPU-bound: softmax passes outnumber MXU cycles)
     v = _tile(v_ref, bshd)                     # [bk, d]
+    d = v.shape[-1]
+    v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )                                          # [bq, d+1]; col d = sum(p)
     acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(ik == num_kv_blocks - 1)
     def _store():
-        l_fin = l_ref[:, :1]
+        l_fin = acc_ref[:, d:d + 1]
         inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        out = (acc_ref[...] * inv).astype(o_ref.dtype)
+        out = (acc_ref[:, :d] * inv).astype(o_ref.dtype)
         if bshd:
             o_ref[0, :, 0, :] = out
         else:
@@ -221,8 +226,7 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # m
-            pltpu.VMEM((block_q, LANES), jnp.float32),   # l
-            pltpu.VMEM((block_q, d), jnp.float32),       # acc
+            pltpu.VMEM((block_q, d + 1), jnp.float32),   # acc | l column
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -493,8 +497,10 @@ def _chunked_bwd(q, k, v, o, do, sm_scale: float, kv_len: int, block_q: int = 10
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-BWD_BLOCK_Q = 512
-BWD_BLOCK_K = 512
+# swept on v5e at the DiT joint shape (S=18432, H=48, D=64), fwd+dkv+dq:
+# 1024/1024 = 176 ms vs 512/512 = 201 ms (-12%); 2048/512 ties at 177
+BWD_BLOCK_Q = 1024
+BWD_BLOCK_K = 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
