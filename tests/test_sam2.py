@@ -251,3 +251,24 @@ def test_sine_pos_enc_properties():
     assert pe.shape == (8, 12, 32)
     assert np.abs(pe).max() <= 1.0 + 1e-6
     assert not np.allclose(pe[0, 0], pe[7, 11])
+
+
+def test_sam2_tool_native_path(predictor, tmp_path):
+    """tools/sam2_tools.py native branch end-to-end with an injected
+    predictor: detect-fallback prompts, propagate, contract-correct mask
+    dirs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.sam2_tools import sam2_masks, write_masks
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (3, 64, 96, 3), dtype=np.uint8)
+    masks = sam2_masks(frames, predictor=predictor)
+    assert masks.shape == (2, 3, 64, 96)
+    assert masks.dtype == np.uint8
+    write_masks(masks, str(tmp_path))
+    assert (tmp_path / "1" / "annotated_frame_00000.png").exists()
+    assert (tmp_path / "valid_frame.json").exists()

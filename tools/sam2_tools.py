@@ -48,16 +48,20 @@ def fallback_masks(frames: np.ndarray) -> np.ndarray:
     return masks
 
 
-def sam2_masks(frames: np.ndarray, checkpoint: str) -> np.ndarray:
+def sam2_masks(frames: np.ndarray, checkpoint: str = None,
+               predictor=None) -> np.ndarray:
     """Native SAM-2.1 video propagation from faces detected on frame 0
-    (reference flow: FaceAnalysis kps -> point prompts -> propagate)."""
+    (reference flow: FaceAnalysis kps -> point prompts -> propagate).
+    `predictor` injects a prebuilt `SAM2VideoPredictor` (tests)."""
     import cv2
 
     from bindyouravatar_tpu.preprocess.face import FaceDetector
-    from bindyouravatar_tpu.preprocess.sam2_video import load_sam2_predictor
 
     t, h, w = frames.shape[:3]
-    predictor = load_sam2_predictor(checkpoint)
+    if predictor is None:
+        from bindyouravatar_tpu.preprocess.sam2_video import load_sam2_predictor
+
+        predictor = load_sam2_predictor(checkpoint)
     state = predictor.init_state(frames)
 
     faces = FaceDetector(retinaface_checkpoint=os.environ.get(
