@@ -231,6 +231,23 @@ class Decoder3D(nn.Module):
         return CausalConv3d(c.out_channels, **kw, name="conv_out")(h)
 
 
+# jitted encoder/decoder bodies cached per (config, shape): the chunked
+# encode/decode paths call the core repeatedly with 2-3 distinct chunk
+# shapes — eager dispatch of the deep conv stacks costs minutes over the
+# relay (measured: 49f x 480p chunked decode 293 s eager vs seconds jitted)
+_VAE_JIT_CACHE: dict = {}
+
+
+def _jitted_apply(kind: str, cfg, shape, dtype):
+    key = (kind, cfg, shape, str(dtype))
+    fn = _VAE_JIT_CACHE.get(key)
+    if fn is None:
+        mod = (Encoder3D if kind == "enc" else Decoder3D)(cfg)
+        fn = jax.jit(lambda p, x: mod.apply({"params": p}, x))
+        _VAE_JIT_CACHE[key] = fn
+    return fn
+
+
 @dataclasses.dataclass(frozen=True)
 class CausalVAE:
     """Public API in reference layout ([B,T,C,H,W]); NDHWC internally."""
@@ -248,7 +265,8 @@ class CausalVAE:
     def encode_moments(self, params, video: jnp.ndarray) -> jnp.ndarray:
         """video [B,T,3,H,W] in [-1,1] -> moments [B,T',2C,H/8,W/8]."""
         x = video.transpose(0, 1, 3, 4, 2).astype(self.cfg.dtype)
-        m = Encoder3D(self.cfg).apply({"params": params["encoder"]}, x)
+        m = _jitted_apply("enc", self.cfg, x.shape, x.dtype)(
+            params["encoder"], x)
         return m.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
 
     def encode(self, params, video: jnp.ndarray, key: Optional[jax.Array] = None,
@@ -302,7 +320,8 @@ class CausalVAE:
         if temporal_chunk is None or latents.shape[1] <= temporal_chunk:
             z = (latents / self.cfg.scaling_factor).transpose(0, 1, 3, 4, 2)
             z = z.astype(self.cfg.dtype)
-            x = Decoder3D(self.cfg).apply({"params": params["decoder"]}, z)
+            x = _jitted_apply("dec", self.cfg, z.shape, z.dtype)(
+                params["decoder"], z)
             return x.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
 
         t_lat = latents.shape[1]
