@@ -327,16 +327,18 @@ class CausalVAE:
         t_lat = latents.shape[1]
         r = self.cfg.temporal_compression_ratio
         outs = []
-        i = 0
+        # first chunk takes temporal_chunk+1 frames WITHOUT context so every
+        # chunk (except a ragged tail) decodes at the same [*, k+1, ...]
+        # shape — one compile serves the whole clip (per-shape jit cache)
+        k = temporal_chunk
+        first = min(k + 1, t_lat)
+        outs.append(self.decode(params, latents[:, :first]))
+        i = first
         while i < t_lat:
-            k = min(temporal_chunk, t_lat - i)
-            lo = max(0, i - 1)                       # 1 latent frame of context
-            chunk = self.decode(params, latents[:, lo:i + k])
-            if i == 0:
-                outs.append(chunk)                   # owns pixels 0..r(k-1)
-            else:
-                outs.append(chunk[:, 1:1 + r * k])   # drop context pixels
-            i += k
+            n = min(k, t_lat - i)
+            chunk = self.decode(params, latents[:, i - 1:i + n])
+            outs.append(chunk[:, 1:1 + r * n])       # drop context pixels
+            i += n
         return jnp.concatenate(outs, axis=1)
 
     @classmethod
