@@ -265,8 +265,11 @@ class MulReduceDense(nn.Module):
         kern = self.param("kernel", nn.initializers.lecun_normal(), (d, 1),
                           self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (1,), self.param_dtype)
-        w = kern[:, 0].astype(self.dtype)
-        return (x.astype(self.dtype) * w).sum(-1) + bias[0].astype(self.dtype)
+        # products in fp32, like the dot's MXU accumulation — bf16-rounded
+        # products would perturb near-threshold routing logits
+        w = kern[:, 0].astype(jnp.float32)
+        logit = (x.astype(jnp.float32) * w).sum(-1) + bias[0].astype(jnp.float32)
+        return logit.astype(self.dtype)
 
 
 class MultiIPRouterTrunk(nn.Module):

@@ -360,7 +360,9 @@ class PromptEncoder(nn.Module):
     def __call__(self, points, labels):
         """points [B, N, 2] pixels, labels [B, N] int -> sparse [B, N, D]."""
         c = self.cfg
-        pe = self._pe(points / c.image_size)
+        # SAM shifts prompts to pixel centers before normalising
+        # (matching dense_pe's +0.5 grid)
+        pe = self._pe((points + 0.5) / c.image_size)
         lab = labels[..., None]
         out = jnp.where(lab == -1, self.not_a_point_embed[None, None], pe)
         for i in range(4):

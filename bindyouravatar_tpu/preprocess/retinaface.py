@@ -21,6 +21,7 @@ to a multiple of 32 so conv and anchor grids agree.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import math
 from typing import Any, Dict, List, Tuple
@@ -171,6 +172,7 @@ class RetinaFace(nn.Module):
 # --------------------------------------------------------------------- #
 # anchors, decode, NMS (host-side numpy — tiny)
 
+@functools.lru_cache(maxsize=16)
 def prior_boxes(h: int, w: int) -> np.ndarray:
     """[A, 4] (cx, cy, sx, sy) normalised anchors (biubug6 PriorBox)."""
     anchors = []

@@ -187,17 +187,21 @@ class SAM2VideoPredictor:
         return np.full((self.cfg.image_size // 4,) * 2, -10.0, np.float32)
 
     # ------------------------------------------------------------ tracking
-    def _memory_bank(self, obj: _ObjState, t: int):
+    def _memory_bank(self, obj: _ObjState):
         c = self.cfg
         mems, poss = [], []
         cm, cp = obj.cond_memory
         tpos = np.asarray(self._params["params"]["maskmem_tpos_enc"])
-        mems.append(cm.reshape(1, -1, c.mem_dim) + tpos[0])
+        # sam2.1 temporal-slot convention (sam2_base.py: index
+        # num_maskmem - t_pos - 1): conditioning frame -> tpos[last];
+        # most recent memory -> tpos[0], older -> increasing index
+        mems.append(cm.reshape(1, -1, c.mem_dim) + tpos[c.num_maskmem - 1])
         poss.append(cp.reshape(1, -1, c.mem_dim))
         recent = obj.memories[-(c.num_maskmem - 1):]
-        for slot, (tm, m, p) in enumerate(recent, start=1):
-            mems.append(m.reshape(1, -1, c.mem_dim)
-                        + tpos[min(slot, c.num_maskmem - 1)])
+        n_rec = len(recent)
+        for p_idx, (tm, m, p) in enumerate(recent):   # oldest -> newest
+            slot = n_rec - p_idx - 1                   # newest -> 0
+            mems.append(m.reshape(1, -1, c.mem_dim) + tpos[slot])
             poss.append(p.reshape(1, -1, c.mem_dim))
         rope_rows = sum(m.shape[1] for m in mems)
         # object pointers, split into mem_dim chunks, zero pos enc
@@ -223,11 +227,7 @@ class SAM2VideoPredictor:
             for oid in ids:
                 obj = state["objs"][oid]
                 f = state["feats"][t]
-                if t == obj.cond_frame:
-                    # re-emit the conditioning-frame mask from its memory
-                    mem, pos, rows = self._memory_bank(obj, t)
-                else:
-                    mem, pos, rows = self._memory_bank(obj, t)
+                mem, pos, rows = self._memory_bank(obj)
                 feat = self._cond(jnp.asarray(f["feat"]), mem, pos, rows)
                 masks, iou, obj_score, obj_ptr = self._decode(
                     feat, jnp.asarray(f["hi0"]), jnp.asarray(f["hi1"]),

@@ -67,7 +67,7 @@ class InferenceServer:
     """Double-buffered request server over one compiled pipeline."""
 
     def __init__(self, pipeline, params: Dict[str, Any],
-                 max_queue: int = 64, warmup: bool = False):
+                 max_queue: int = 64):
         self.pipeline = pipeline
         self.params = params
         self._submit_q: "queue.Queue" = queue.Queue(maxsize=max_queue)
@@ -78,9 +78,6 @@ class InferenceServer:
         self._compute_thread = threading.Thread(target=self._compute_loop,
                                                 daemon=True)
         self.requests_served = 0
-        if warmup:
-            self.pipeline._jitted_loop(self.pipeline.cfg.num_inference_steps,
-                                       self.pipeline.cfg.guidance_scale)
         self._prep_thread.start()
         self._compute_thread.start()
 
@@ -96,6 +93,19 @@ class InferenceServer:
         self._prep_thread.join(timeout=30)
         self._ready_q.put(None)
         self._compute_thread.join(timeout=120)
+        # fail any request still queued behind the shutdown sentinels —
+        # otherwise their futures never resolve and clients hang
+        for q in (self._submit_q, self._ready_q):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    continue
+                fut = item[1]
+                if not fut.done():
+                    fut.set_exception(RuntimeError("server closed"))
 
     # ------------------------------------------------------------ stages
     def _prep_loop(self):

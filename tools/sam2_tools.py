@@ -69,7 +69,7 @@ def sam2_masks(frames: np.ndarray, checkpoint: str = None,
     if len(faces) < 2:   # fall back to left/right face-ish prompts
         pts = [np.array([[w * 0.3, h * 0.4]]), np.array([[w * 0.7, h * 0.4]])]
     else:
-        pts = [np.asarray([[f.bbox[:2].mean() if f.landmarks is None
+        pts = [np.asarray([[(f.bbox[0] + f.bbox[2]) / 2 if f.landmarks is None
                             else f.landmarks[2, 0],
                             (f.bbox[1] + f.bbox[3]) / 2 if f.landmarks is None
                             else f.landmarks[2, 1]]])

@@ -10,6 +10,9 @@ endpoint from `bindyouravatar_tpu.serving`:
     curl -s localhost:8976/healthz
     curl -s -X POST localhost:8976/generate -d '{"prompt_embeds": "pe.npy",
         "image": "img.npy", "seed": 1, "output": "out.npy"}'
+
+The denoise loop compiles on the first request for its shape (~minutes for
+the 42-layer model; per-process caches only — see CLAUDE.md).
 """
 
 import os
@@ -19,10 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
-    from infer import build_models, load_params, parse_args
+    from infer import build_models, get_args, load_params
 
-    args = parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
     port = int(os.environ.get("BYA_SERVE_PORT", "8976"))
+    if "--port" in argv:
+        i = argv.index("--port")
+        port = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = get_args(argv)
 
     import jax
 
@@ -39,9 +47,10 @@ def main(argv=None):
         params["dit"] = shard_params_tp(params["dit"], mesh)
         print(f"[tp] DiT params sharded over {args.tp} chips")
 
-    server = InferenceServer(pipe, params, warmup=True)
+    server = InferenceServer(pipe, params)
     print(f"[serve] listening on :{port} "
-          f"(steps={args.num_inference_steps}, size={args.model_size})")
+          f"(steps={args.num_inference_steps}, size={args.model_size}; "
+          f"first request compiles the denoise loop)")
     serve_http(server, host="0.0.0.0", port=port, block=True)
 
 
