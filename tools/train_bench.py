@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Train-step bench on the real chip (Stage-3 semantics, reduced depth).
+
+Runs the CONDITIONED train step — v-pred loss + six routing losses,
+Stage-3 freeze list (adapters/LoRA trainable, base DiT frozen), remat, real
+480x720 latent geometry — at a reduced layer count that fits one chip's
+HBM beside the fp32 optimizer state, and extrapolates per-layer cost.
+The 8-device-mesh FSDP variant of the same step is exercised by
+`__graft_entry__.dryrun_multichip`; this measures real-hardware step time
+(the CPU mesh can't).
+
+    python tools/train_bench.py [num_layers=6]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bindyouravatar_tpu.config import (DiTConfig, SchedulerConfig,
+                                           TrainConfig)
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.ops.scheduler import Schedule
+    from bindyouravatar_tpu.training.trainer import Trainer
+
+    n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    cfg = DiTConfig(num_layers=n_layers, cross_attn_interval=2,
+                    audio_attn_interval=1, remat=True,
+                    use_flash_attention=True,
+                    param_dtype=jnp.bfloat16, dtype=jnp.bfloat16)
+    dit = DiT.create(cfg)
+    trainer = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()),
+                      cfg=TrainConfig(lr_warmup_steps=1, max_train_steps=8,
+                                      grad_accum_steps=1))
+
+    shapes = jax.eval_shape(lambda k: dit.init(k), jax.random.key(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    state, frozen = trainer.init_state(params)
+
+    b = 1
+    t = cfg.latent_frames
+    a = dit.audio_cfg
+    lfe = dit.lfe_cfg
+    s_tok = cfg.video_seq_len
+    n_af = cfg.sample_frames + a.window_size - a.window_stride
+    ks = jax.random.split(jax.random.key(1), 9)
+    batch = dict(
+        video_latents=jax.random.normal(
+            ks[0], (b, t, 16, cfg.sample_height, cfg.sample_width)),
+        image_latents=jax.random.normal(
+            ks[1], (b, t, 16, cfg.sample_height, cfg.sample_width)),
+        bg_latents=jax.random.normal(
+            ks[1], (b, t, 16, cfg.sample_height, cfg.sample_width)),
+        prompt_embeds=jax.random.normal(
+            ks[2], (b, cfg.max_text_seq_length, cfg.text_embed_dim)),
+        id_cond=jax.random.normal(ks[3], (b, cfg.num_ids, lfe.id_embed_dim)),
+        id_vit_hidden=jax.random.normal(
+            ks[4], (b, cfg.num_ids, lfe.num_scales, 577, lfe.vit_dim)),
+        audio_embeds=jax.random.normal(
+            ks[5], (b, cfg.num_ids, n_af, a.blocks, a.audio_dim)),
+        af_matrix=jnp.broadcast_to(jnp.eye(cfg.num_ids)[None],
+                                   (b, cfg.num_ids, cfg.num_ids)),
+        teacher_clean=(jax.random.uniform(ks[6], (b, s_tok, cfg.num_ids))
+                       > 0.5).astype(jnp.float32),
+        teacher_noisy=jax.random.uniform(ks[7], (b, s_tok, cfg.num_ids)),
+        dense_mask=(jax.random.uniform(
+            ks[8], (b, t, cfg.sample_height, cfg.sample_width))
+            > 0.5).astype(jnp.float32),
+    )
+
+    step = trainer.jit_train_step()
+    t0 = time.time()
+    state, metrics = step(state, frozen, batch, jax.random.key(2))
+    loss = float(metrics["loss"])          # sync (relay-safe scalar fetch)
+    compile_s = time.time() - t0
+
+    n, t0 = 3, time.time()
+    for i in range(n):
+        state, metrics = step(state, frozen, batch, jax.random.key(3 + i))
+    loss = float(metrics["loss"])
+    dt = (time.time() - t0) / n
+    print(json.dumps({
+        "train_step_s": round(dt, 2),
+        "num_layers": n_layers,
+        "per_layer_ms": round(dt / n_layers * 1e3, 1),
+        "loss": round(loss, 4),
+        "compile_s": round(compile_s, 1),
+        "conditioned": True,
+        "remat": True,
+    }))
+
+
+if __name__ == "__main__":
+    main()
