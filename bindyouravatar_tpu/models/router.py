@@ -143,7 +143,7 @@ class AxisAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.packed_attention import packed_head_attention
+        from ..ops.packed_attention import tiny_seq_attention
 
         sh = x.shape
         dh = self.dim // self.heads
@@ -154,13 +154,15 @@ class AxisAttention(nn.Module):
         xf = xt.reshape(m, s, self.dim)
         dense = lambda name: nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)
-        q = dense("to_q")(xf).reshape(m, s * self.heads, dh)
-        k = dense("to_k")(xf).reshape(m, s * self.heads, dh)
-        v = dense("to_v")(xf).reshape(m, s * self.heads, dh)
-        o = packed_head_attention(q, k, v, self.heads, dh ** -0.5)
+        # channel-packed kernel IO: the projections' [M, S, C] layout flows
+        # straight through (head split happens in VMEM lane slices / the
+        # packed fold — no [M, S*H, dh] HBM reshapes)
+        q = dense("to_q")(xf)
+        k = dense("to_k")(xf)
+        v = dense("to_v")(xf)
+        o = tiny_seq_attention(q, k, v, self.heads, dh ** -0.5)
         o = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
-                     name="to_out")(o.reshape(m, s, self.dim))
+                     param_dtype=self.param_dtype, name="to_out")(o)
         inv = list(np.argsort(perm))
         return o.reshape(xt.shape).transpose(inv)
 

@@ -131,3 +131,94 @@ def _packed_bwd(heads, sm_scale, res, g):
 
 
 packed_head_attention.defvjp(_packed_fwd, _packed_bwd)
+
+
+# --------------------------------------------------------------------- #
+# channel-packed front end: [M, S, C] without HBM head reshapes
+
+def _slice_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, sm_scale: float):
+    """Per-head lane-sliced attention on channel-packed [R, S, C] tiles.
+    Beats the packed fold for S >= ~8 (the [M,S,C] -> [M,S*H,D] HBM
+    reshapes cost more than the per-head dot unrolling); loses for S = 2
+    where the per-head dots degenerate."""
+    r, s, c = q_ref.shape
+    dh = c // heads
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        sc = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _spec_channel(q, k, v, heads, sm_scale):
+    """Einsum spec for channel-packed [M, S, C] (head h = channels
+    [h*dh, (h+1)*dh)) — identical math to the packed fold."""
+    m, s, c = q.shape
+    dh = c // heads
+    qs = q.reshape(m, s, heads, dh)
+    ks = k.reshape(m, s, heads, dh)
+    vs = v.reshape(m, s, heads, dh)
+    sc = jnp.einsum("mahd,mbhd->mhab", qs, ks,
+                    preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(sc, axis=-1)
+    o = jnp.einsum("mhab,mbhd->mahd", p.astype(vs.dtype), vs)
+    return o.reshape(m, s, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tiny_seq_attention(q, k, v, heads: int, sm_scale: float):
+    """Multi-head self-attention over a tiny sequence, channel-packed IO:
+    q/k/v [M, S, C] (C = heads * dh, h-major) -> [M, S, C].  Dispatches to
+    the lane-sliced kernel (S >= 8) or the packed-head fold (smaller S),
+    keeping the projections' natural layout end to end — no HBM reshapes.
+    """
+    return _tiny_impl(q, k, v, heads, sm_scale)
+
+
+def _tiny_impl(q, k, v, heads, sm_scale):
+    m, s, c = q.shape
+    if jax.devices()[0].platform != "tpu":
+        return _spec_channel(q, k, v, heads, sm_scale)
+    if s < 8:
+        dh = c // heads
+        o = _packed_fwd_impl(q.reshape(m, s * heads, dh),
+                             k.reshape(m, s * heads, dh),
+                             v.reshape(m, s * heads, dh), heads, sm_scale)
+        return o.reshape(m, s, c)
+    rows = max(8, min(256, 2 ** 20 // (s * c)) // 8 * 8)
+    spec = pl.BlockSpec((rows, s, c), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_slice_kernel, heads=heads, sm_scale=sm_scale),
+        grid=(pl.cdiv(m, rows),),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, s, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(q, k, v)
+
+
+def _tiny_fwd(q, k, v, heads, sm_scale):
+    return _tiny_impl(q, k, v, heads, sm_scale), (q, k, v)
+
+
+def _tiny_bwd(heads, sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _spec_channel(q, k, v, heads, sm_scale), q, k, v)
+    return vjp(g)
+
+
+tiny_seq_attention.defvjp(_tiny_fwd, _tiny_bwd)

@@ -76,3 +76,68 @@ def test_packed_attention_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_tiny_seq_channel_spec_equals_packed():
+    """Channel-packed spec == per-head attention on channel slices."""
+    from bindyouravatar_tpu.ops.packed_attention import (_spec_channel,
+                                                         tiny_seq_attention)
+
+    m, s, heads, dh = 12, 13, 8, 16
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(3), 3)
+    q, k, v = (jax.random.normal(kk, (m, s, c), jnp.float32) for kk in ks)
+    got = tiny_seq_attention(q, k, v, heads, dh ** -0.5)   # spec on CPU
+    # reference: independent per-head attention over channel slices
+    want = np.zeros((m, s, c), np.float32)
+    qn, kn, vn = (np.asarray(x) for x in (q, k, v))
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        sc = np.einsum("mad,mbd->mab", qn[..., sl], kn[..., sl]) * dh ** -0.5
+        p = np.exp(sc - sc.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want[..., sl] = np.einsum("mab,mbd->mad", p, vn[..., sl])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_slice_kernel_interpret_matches_spec():
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from bindyouravatar_tpu.ops.packed_attention import (_slice_kernel,
+                                                         _spec_channel)
+
+    m, s, heads, dh = 16, 13, 4, 32
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(4), 3)
+    q, k, v = (jax.random.normal(kk, (m, s, c), jnp.float32) for kk in ks)
+    spec = pl.BlockSpec((8, s, c), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_slice_kernel, heads=heads, sm_scale=dh ** -0.5),
+        grid=(m // 8,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, s, c), q.dtype),
+        interpret=True,
+    )(q, k, v)
+    want = _spec_channel(q, k, v, heads, dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tiny_seq_attention_grads():
+    from bindyouravatar_tpu.ops.packed_attention import (_spec_channel,
+                                                         tiny_seq_attention)
+
+    m, s, heads, dh = 6, 5, 4, 8
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (jax.random.normal(kk, (m, s, c), jnp.float32) for kk in ks)
+    g1 = jax.grad(lambda q, k, v: tiny_seq_attention(
+        q, k, v, heads, dh ** -0.5).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: _spec_channel(
+        q, k, v, heads, dh ** -0.5).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
