@@ -104,3 +104,38 @@ def test_http_endpoint(served, tmp_path):
                                c.sample_height * 8, c.sample_width * 8)
     finally:
         httpd.shutdown()
+
+
+def test_server_with_tp_sharded_params():
+    """Serving with Megatron-TP-sharded DiT params on a 2-chip mesh slice —
+    the `infer.py --tp` configuration behind the request server."""
+    import jax
+
+    from bindyouravatar_tpu.config import PipelineConfig, VAEConfig
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.models.vae import CausalVAE
+    from bindyouravatar_tpu.parallel.mesh import create_mesh
+    from bindyouravatar_tpu.parallel.tp import shard_params_tp
+    from bindyouravatar_tpu.pipeline.pipeline import BindYourAvatarPipeline
+
+    dit = DiT.tiny(in_channels=8, out_channels=4)
+    vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16),
+                              layers_per_block=1, latent_channels=4,
+                              norm_num_groups=4, dtype=jnp.float32))
+    pipe = BindYourAvatarPipeline.create(
+        dit, vae, PipelineConfig(height=dit.cfg.sample_height * 8,
+                                 width=dit.cfg.sample_width * 8,
+                                 num_frames=dit.cfg.sample_frames,
+                                 num_inference_steps=2, guidance_scale=6.0))
+    params = {"dit": dit.init(jax.random.key(0)),
+              "vae": vae.init(jax.random.key(1))}
+    mesh = create_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
+    params["dit"] = shard_params_tp(params["dit"], mesh)
+
+    server = InferenceServer(pipe, params)
+    try:
+        r = server.submit(_request(pipe, seed=9, rid="tp0")).result(timeout=600)
+        assert r.request_id == "tp0"
+        assert np.isfinite(r.video).all()
+    finally:
+        server.close()
