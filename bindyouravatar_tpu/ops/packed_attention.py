@@ -197,6 +197,7 @@ def _tiny_impl(q, k, v, heads, sm_scale):
                              v.reshape(m, s * heads, dh), heads, sm_scale)
         return o.reshape(m, s, c)
     rows = max(8, min(256, 2 ** 20 // (s * c)) // 8 * 8)
+    rows = min(rows, max(8, m))
     spec = pl.BlockSpec((rows, s, c), lambda i: (i, 0, 0))
     return pl.pallas_call(
         functools.partial(_slice_kernel, heads=heads, sm_scale=sm_scale),

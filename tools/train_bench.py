@@ -3,11 +3,12 @@
 
 Runs the CONDITIONED train step — v-pred loss + six routing losses,
 Stage-3 freeze list (adapters/LoRA trainable, base DiT frozen), remat, real
-480x720 latent geometry — at a reduced layer count that fits one chip's
-HBM beside the fp32 optimizer state, and extrapolates per-layer cost.
-The 8-device-mesh FSDP variant of the same step is exercised by
-`__graft_entry__.dryrun_multichip`; this measures real-hardware step time
-(the CPU mesh can't).
+480x720 latent geometry — at a reduced layer count, and reports per-layer
+cost.  Single-chip probe uses bf16 params AND bf16 adam moments: the
+repo-default fp32-master configuration needs 22.4 GB at 6 layers (measured
+OOM vs 15.75 GB HBM) and belongs on the v5e-8 FSDP slice, where params and
+optimizer state shard 8-way (`__graft_entry__.dryrun_multichip` exercises
+that path; the CPU mesh can't give real step times).
 
     python tools/train_bench.py [num_layers=6]
 """
@@ -31,6 +32,7 @@ def main():
     from bindyouravatar_tpu.training.trainer import Trainer
 
     n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    # bf16 params + moments: the single-chip-feasible probe (see docstring)
     cfg = DiTConfig(num_layers=n_layers, cross_attn_interval=2,
                     audio_attn_interval=1, remat=True,
                     use_flash_attention=True,
@@ -50,14 +52,14 @@ def main():
     lfe = dit.lfe_cfg
     s_tok = cfg.video_seq_len
     n_af = cfg.sample_frames + a.window_size - a.window_stride
-    ks = jax.random.split(jax.random.key(1), 9)
+    ks = jax.random.split(jax.random.key(1), 10)
     batch = dict(
         video_latents=jax.random.normal(
             ks[0], (b, t, 16, cfg.sample_height, cfg.sample_width)),
         image_latents=jax.random.normal(
             ks[1], (b, t, 16, cfg.sample_height, cfg.sample_width)),
         bg_latents=jax.random.normal(
-            ks[1], (b, t, 16, cfg.sample_height, cfg.sample_width)),
+            ks[9], (b, t, 16, cfg.sample_height, cfg.sample_width)),
         prompt_embeds=jax.random.normal(
             ks[2], (b, cfg.max_text_seq_length, cfg.text_embed_dim)),
         id_cond=jax.random.normal(ks[3], (b, cfg.num_ids, lfe.id_embed_dim)),
@@ -94,6 +96,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "conditioned": True,
         "remat": True,
+        "dtypes": "bf16 params+moments (single-chip probe)",
     }))
 
 
