@@ -155,15 +155,19 @@ class BindYourAvatarPipeline:
 
     # ------------------------------------------------------------------ #
     def jit_prepare_conditioning(self):
-        """Cached jit of `DiT.prepare_conditioning` (None args are static)."""
-        if "prep" not in self._loop_cache:
+        """Cached jit of `DiT.prepare_conditioning` (None args are static).
+        Keyed on the values the closure bakes — instances made via
+        dataclasses.replace share the cache dict, so a replaced num_frames
+        (the >49-frame sp path) must not reuse a stale prep."""
+        key = ("prep", self.cfg.num_frames)
+        if key not in self._loop_cache:
             def prep(params_, idc_, vit_, audio_, mute_):
                 return self.dit.prepare_conditioning(
                     params_, id_cond=idc_, id_vit_hidden=vit_,
                     audio_embeds=audio_, mute_embeds=mute_,
                     num_pixel_frames=self.cfg.num_frames)
-            self._loop_cache["prep"] = jax.jit(prep)
-        return self._loop_cache["prep"]
+            self._loop_cache[key] = jax.jit(prep)
+        return self._loop_cache[key]
 
     def _jitted_loop(self, steps: int, guidance: float):
         """Build (or fetch) the compiled CFG denoise loop for a given step
@@ -175,7 +179,7 @@ class BindYourAvatarPipeline:
         # key includes every config value baked into the closure — instances
         # made via dataclasses.replace(pipe, cfg=...) share the cache dict
         cache_key = (steps, guidance, c.scheduler_type, c.use_dynamic_cfg,
-                     c.cfg_microbatch, self.sp_mesh)
+                     c.cfg_microbatch, self.sp_mesh, self.schedule.config)
         if cache_key in self._loop_cache:
             return self._loop_cache[cache_key]
         sched = self.schedule

@@ -164,8 +164,10 @@ class FFM(nn.Module):
         feat = ConvBNReLU(self.features, 1, name="convblk")(
             jnp.concatenate([fsp, fcp], axis=-1))
         atten = feat.mean(axis=(1, 2), keepdims=True)
-        atten = nn.relu(nn.Conv(self.features // 4, (1, 1), name="conv1")(atten))
-        atten = jax.nn.sigmoid(nn.Conv(self.features, (1, 1), name="conv2")(atten))
+        atten = nn.relu(nn.Conv(self.features // 4, (1, 1), use_bias=False,
+                                name="conv1")(atten))
+        atten = jax.nn.sigmoid(nn.Conv(self.features, (1, 1), use_bias=False,
+                                       name="conv2")(atten))
         return feat * atten + feat
 
 
@@ -213,12 +215,6 @@ def _conv(sd, key):
     return {"kernel": w}
 
 
-def _conv_b(sd, prefix):
-    out = _conv(sd, f"{prefix}.weight")
-    out["bias"] = np.asarray(sd[f"{prefix}.bias"], np.float32)
-    return out
-
-
 def _cbr(sd, prefix):
     return {"conv": _conv(sd, f"{prefix}.conv.weight"),
             "bn": _bn(sd, f"{prefix}.bn")}
@@ -263,8 +259,8 @@ def import_bisenet_weights(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             "conv_avg": _cbr(sd, "cp.conv_avg"),
         },
         "ffm": {"convblk": _cbr(sd, "ffm.convblk"),
-                "conv1": _conv_b(sd, "ffm.conv1"),
-                "conv2": _conv_b(sd, "ffm.conv2")},
+                "conv1": _conv(sd, "ffm.conv1.weight"),
+                "conv2": _conv(sd, "ffm.conv2.weight")},
         "conv_out": _head(sd, "conv_out"),
     }
     return jax.tree.map(jnp.asarray, params)

@@ -86,7 +86,14 @@ class TrainDriver:
         b = video.shape[0]
 
         if self.vae is not None:
-            video_lat = self.vae.encode(self.vae_params, video)
+            # encode per sample: the loader batch is batch_size x accum
+            # (grad accumulation), and a whole-batch encode would scale peak
+            # activation memory with accum — the configuration accumulation
+            # exists to AVOID (reference encodes one micro-batch per
+            # accelerator.accumulate step)
+            video_lat = jnp.concatenate(
+                [self.vae.encode(self.vae_params, video[i:i + 1])
+                 for i in range(b)], axis=0)
             image_lat = self.vae.encode(self.vae_params, video[:, :1])
             pad = jnp.zeros((b, video_lat.shape[1] - 1) + image_lat.shape[2:],
                             image_lat.dtype)

@@ -157,6 +157,10 @@ def main(argv=None):
     t0 = time.time()
     pipe = build_models(args)
     params = load_params(pipe, args)
+    if args.tp > 1 and args.sp > 1:
+        raise SystemExit("--tp and --sp build conflicting meshes over the "
+                         "same chips; use one (combined tp x sp mesh is "
+                         "future work, ROADMAP)")
     if args.tp > 1:
         from bindyouravatar_tpu.parallel.mesh import create_mesh
         from bindyouravatar_tpu.parallel.tp import shard_params_tp

@@ -121,8 +121,9 @@ class TFFM(tnn.Module):
     def __init__(self, in_chan=256, out_chan=256):
         super().__init__()
         self.convblk = TConvBNReLU(in_chan, out_chan, ks=1, padding=0)
-        self.conv1 = tnn.Conv2d(out_chan, out_chan // 4, 1)
-        self.conv2 = tnn.Conv2d(out_chan // 4, out_chan, 1)
+        # zllrunning/facexlib FFM 1x1 attention convs carry NO bias
+        self.conv1 = tnn.Conv2d(out_chan, out_chan // 4, 1, bias=False)
+        self.conv2 = tnn.Conv2d(out_chan // 4, out_chan, 1, bias=False)
 
     def forward(self, fsp, fcp):
         feat = self.convblk(torch.cat([fsp, fcp], dim=1))
