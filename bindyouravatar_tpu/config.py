@@ -287,6 +287,15 @@ class TrainConfig:
     mask_prob: float = 0.2
     # conditioning dropout (reference train.py defaults)
     noised_image_dropout: float = 0.05
+    # mask-modulated conditioning-image noising (reference `process_image`,
+    # train.py:1057-1079): image += randn*exp(N(mean,std))*dense_mask before
+    # VAE encode — anti-copy regularizer for I2V fine-tuning
+    image_noise: bool = True
+    image_noise_mean: float = -1.0     # reference: -1 with mask, -3 without
+    image_noise_std: float = 0.5
+    # latent_dist.sample() instead of the mode for video/image encodes
+    # (reference train.py:1327-1337)
+    stochastic_vae: bool = True
     drop_inpaint_prob: float = 0.0
     index_mask_drop_prob: float = 0.2
     routing_logits_zeros_prob: float = 0.2

@@ -102,8 +102,14 @@ class BindYourAvatarPipeline:
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         latents: Optional[jnp.ndarray] = None,
+        return_routing: bool = False,
     ) -> jnp.ndarray:
-        """Run the full CFG denoise loop; returns final latents [B,T,C,h,w]."""
+        """Run the full CFG denoise loop; returns final latents [B,T,C,h,w].
+
+        With `return_routing` (the `--draw_routing_logits` debug surface,
+        reference `util/utils.py:771-784`), returns (latents, routing) where
+        routing is [steps, num_ca, B, S, I] bf16 from the cond CFG half (None
+        when the face/router path is off)."""
         c = self.cfg
         steps = num_inference_steps or c.num_inference_steps
         guidance = guidance_scale if guidance_scale is not None else c.guidance_scale
@@ -149,9 +155,11 @@ class BindYourAvatarPipeline:
 
         xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
               jnp.asarray(second))
-        run_loop = self._jitted_loop(steps, float(guidance))
-        return run_loop(dit_params, pe, img_lat2, bg2, face2, actx2,
-                        af2, force2, rope, xs, latents, key)
+        run_loop = self._jitted_loop(steps, float(guidance),
+                                     return_routing=return_routing)
+        out = run_loop(dit_params, pe, img_lat2, bg2, face2, actx2,
+                       af2, force2, rope, xs, latents, key)
+        return out if return_routing else out[0]
 
     # ------------------------------------------------------------------ #
     def jit_prepare_conditioning(self):
@@ -169,17 +177,22 @@ class BindYourAvatarPipeline:
             self._loop_cache[key] = jax.jit(prep)
         return self._loop_cache[key]
 
-    def _jitted_loop(self, steps: int, guidance: float):
+    def _jitted_loop(self, steps: int, guidance: float,
+                     return_routing: bool = False):
         """Build (or fetch) the compiled CFG denoise loop for a given step
         count + guidance scale.  Everything tensor-valued enters as a jit ARG
         — capturing params as closure consts ships gigabytes through the
         (remote) compiler, and without jit the scan's param-tree reshapes run
-        eagerly and copy the 11 GB stacked params (OOM on one chip)."""
+        eagerly and copy the 11 GB stacked params (OOM on one chip).
+
+        Always returns (final_latents, routing_ys) — routing_ys is None
+        unless `return_routing` (then [steps, num_ca, B, S, I] bf16)."""
         c = self.cfg
         # key includes every config value baked into the closure — instances
         # made via dataclasses.replace(pipe, cfg=...) share the cache dict
         cache_key = (steps, guidance, c.scheduler_type, c.use_dynamic_cfg,
-                     c.cfg_microbatch, self.sp_mesh, self.schedule.config)
+                     c.cfg_microbatch, self.sp_mesh, self.schedule.config,
+                     return_routing)
         if cache_key in self._loop_cache:
             return self._loop_cache[cache_key]
         sched = self.schedule
@@ -202,17 +215,20 @@ class BindYourAvatarPipeline:
                     chans.append(sel(bg_))
                 model_in = jnp.concatenate(chans, axis=2)
                 tvec = jnp.broadcast_to(t_cur.astype(jnp.float32), (b_,))
-                pred, _ = dit.apply(
+                pred, routing = dit.apply(
                     params_, model_in, sel(pe_), tvec, rope_,
                     face_emb=sel(face_), audio_ctx=sel(actx_),
                     af_matrix=sel(af_), routing_override=sel(force_),
                     sp_mesh=self.sp_mesh)
-                return pred.astype(jnp.float32)
+                return pred.astype(jnp.float32), routing
 
+            routing_y = None
             if c.cfg_microbatch:
                 # two sequential batch-b forwards: same math as the CFG
                 # batch-of-2, half the activation HBM (single-chip mode)
-                un, txt = fwd(0), fwd(1)
+                (un, _), (txt, routing_cond) = fwd(0), fwd(1)
+                if return_routing and routing_cond is not None:
+                    routing_y = routing_cond.astype(jnp.bfloat16)
             else:
                 lat_in = jnp.concatenate([lat] * 2, axis=0)
                 chans = [lat_in, img_]
@@ -221,12 +237,14 @@ class BindYourAvatarPipeline:
                 model_in = jnp.concatenate(chans, axis=2)
                 tvec = jnp.broadcast_to(t_cur.astype(jnp.float32),
                                         (model_in.shape[0],))
-                noise_pred, _ = dit.apply(
+                noise_pred, routing2 = dit.apply(
                     params_, model_in, pe_, tvec, rope_,
                     face_emb=face_, audio_ctx=actx_, af_matrix=af_,
                     routing_override=force_, sp_mesh=self.sp_mesh)
                 noise_pred = noise_pred.astype(jnp.float32)
                 un, txt = jnp.split(noise_pred, 2, axis=0)
+                if return_routing and routing2 is not None:
+                    routing_y = routing2[:, b_:].astype(jnp.bfloat16)
             if c.use_dynamic_cfg:
                 # reference formula verbatim (pipeline:927-930) — note it
                 # mixes timestep VALUE with step count, as shipped
@@ -243,16 +261,16 @@ class BindYourAvatarPipeline:
                 noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
                 new_lat, x0 = sched.dpm_step_scan(guided, old_pred, t_cur, t_bk,
                                                   t_prev, lat, so, noise)
-            return (new_lat, x0, k), None
+            return (new_lat, x0, k), routing_y
 
         def run_loop(params_, pe_, img_, bg_, face_, actx_, af_, force_,
                      rope_, xs_, latents, key):
             body = functools.partial(
                 step_fn, params_=params_, pe_=pe_, img_=img_, bg_=bg_,
                 face_=face_, actx_=actx_, af_=af_, force_=force_, rope_=rope_)
-            (final, _, _), _ = jax.lax.scan(
+            (final, _, _), ys = jax.lax.scan(
                 body, (latents, jnp.zeros_like(latents), key), xs_)
-            return final
+            return final, ys
 
         fn = jax.jit(run_loop)
         self._loop_cache[cache_key] = fn
@@ -268,12 +286,14 @@ class BindYourAvatarPipeline:
         key: jax.Array,
         image_bg: Optional[jnp.ndarray] = None,
         decode: bool = True,
+        return_routing: bool = False,
         **cond,
     ):
         """End-to-end: prepare latents -> denoise -> decode.
 
         `params` = {"dit": ..., "vae": ...}.  Conditioning kwargs as in
-        `denoise`.  Returns video [B,T,3,H,W] in [-1,1] (or latents).
+        `denoise`.  Returns video [B,T,3,H,W] in [-1,1] (or latents);
+        with `return_routing`, (video, routing [steps,num_ca,B,S,I]|None).
         """
         c = self.cfg
         t_lat = (c.num_frames - 1) // self.dit.cfg.temporal_compression_ratio + 1
@@ -285,8 +305,9 @@ class BindYourAvatarPipeline:
             bg_lat = jnp.zeros_like(img_lat)   # reference `use_inpaint=False`
 
         pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
-        lat = self.denoise(params["dit"], pe, img_lat, key,
-                           bg_latents=bg_lat, **cond)
-        if not decode:
-            return lat
-        return self.vae.decode(params["vae"], lat)
+        out = self.denoise(params["dit"], pe, img_lat, key,
+                           bg_latents=bg_lat, return_routing=return_routing,
+                           **cond)
+        lat, routing = out if return_routing else (out, None)
+        video = lat if not decode else self.vae.decode(params["vae"], lat)
+        return (video, routing) if return_routing else video

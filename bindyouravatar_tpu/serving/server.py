@@ -83,6 +83,8 @@ class InferenceServer:
 
     # ------------------------------------------------------------ public
     def submit(self, req: GenerationRequest) -> "Future[GenerationResult]":
+        if self._stop.is_set():
+            raise RuntimeError("server closed")
         fut: "Future[GenerationResult]" = Future()
         self._submit_q.put((req, fut))
         return fut
@@ -91,7 +93,21 @@ class InferenceServer:
         self._stop.set()
         self._submit_q.put(None)
         self._prep_thread.join(timeout=30)
-        self._ready_q.put(None)
+        # If the prep thread is wedged mid-`_ready_q.put` (compute thread
+        # dead), a blocking put here would deadlock close() itself: drain one
+        # slot and retry non-blocking until the sentinel lands.
+        for _ in range(8):
+            try:
+                self._ready_q.put_nowait(None)
+                break
+            except queue.Full:
+                try:
+                    item = self._ready_q.get_nowait()
+                    if item is not None and not item[1].done():
+                        item[1].set_exception(RuntimeError("server closed"))
+                except queue.Empty:
+                    pass
+                time.sleep(0.05)
         self._compute_thread.join(timeout=120)
         # fail any request still queued behind the shutdown sentinels —
         # otherwise their futures never resolve and clients hang
@@ -125,7 +141,16 @@ class InferenceServer:
             except Exception as e:   # noqa: BLE001 — surfaced via the future
                 fut.set_exception(e)
                 continue
-            self._ready_q.put((req, fut, staged, time.perf_counter() - t0))
+            staged_item = (req, fut, staged, time.perf_counter() - t0)
+            while True:   # bounded put: bail out if the server is closing
+                try:
+                    self._ready_q.put(staged_item, timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        if not fut.done():
+                            fut.set_exception(RuntimeError("server closed"))
+                        return
 
     def _prepare(self, req: GenerationRequest) -> Dict[str, Any]:
         pipe = self.pipeline
@@ -178,19 +203,35 @@ class InferenceServer:
 
 # ---------------------------------------------------------------- HTTP
 def serve_http(server: InferenceServer, host: str = "127.0.0.1",
-               port: int = 8976, block: bool = True):
+               port: int = 8976, block: bool = True,
+               data_root: Optional[str] = None):
     """Minimal stdlib HTTP front-end.
 
     POST /generate with JSON {"prompt_embeds": "<path.npy>", "image":
     "<path.npy>", optional conditioning paths, "seed": int, "output":
     "<path.npy>"} -> {"request_id", "output", "timings"}.  GET /healthz ->
     {"ok": true, "served": n}.
+
+    Requests name filesystem paths, so by default only loopback binds are
+    safe.  When `data_root` is set, every request path (inputs AND the
+    output) must resolve inside it — required before binding non-loopback.
     """
+    import os
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     ARRAY_FIELDS = ("prompt_embeds", "negative_prompt_embeds", "image",
                     "id_cond", "id_vit_hidden", "audio_embeds",
                     "mute_embeds", "af_matrix", "forced_routing")
+
+    root = os.path.realpath(data_root) if data_root else None
+
+    def _check_path(p: str) -> str:
+        if root is not None:
+            rp = os.path.realpath(os.path.join(root, p))
+            if not (rp == root or rp.startswith(root + os.sep)):
+                raise PermissionError(f"path escapes data_root: {p}")
+            return rp
+        return p
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):   # quiet
@@ -218,14 +259,17 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 spec = json.loads(self.rfile.read(n) or b"{}")
-                kw = {f: np.load(spec[f]) for f in ARRAY_FIELDS if f in spec}
+                kw = {f: np.load(_check_path(spec[f]))
+                      for f in ARRAY_FIELDS if f in spec}
                 req = GenerationRequest(
                     seed=int(spec.get("seed", 0)),
                     request_id=str(spec.get("request_id", "")),
                     decode=bool(spec.get("decode", True)), **kw)
                 result = server.submit(req).result(
                     timeout=float(spec.get("timeout_s", 3600)))
-                out_path = spec.get("output", "/tmp/bya_out.npy")
+                out_path = _check_path(spec.get("output", "/tmp/bya_out.npy")
+                                       if root is None else
+                                       spec.get("output", "bya_out.npy"))
                 np.save(out_path, result.video)
                 self._reply(200, {"request_id": result.request_id,
                                   "output": out_path,

@@ -220,19 +220,10 @@ def import_reference_dit(safetensor_files: List[str], dit,
 # reference peft-LoRA safetensors import + fusion
 # ------------------------------------------------------------------ #
 
-def import_lora_safetensors(files_or_sd, dit, params: Dict[str, Any],
-                            ) -> Dict[str, Any]:
-    """Load reference peft LoRA safetensors into the in-layer stacked
-    `blocks/attn1/to_{q,k}_lora_{A,B}` params.
-
-    Mirrors `load_mixed_lora_weights` (reference `util/utils.py:1027-1048`,
-    wired at `infer.py:199`): keys are
-    `transformer[.module].transformer_blocks.{i}.attn1.to_{q,k}.lora_{A,B}.weight`
-    with peft shapes A [r, in] / B [out, r].  Transposed to our kernel-style
-    A [in, r] / B [r, out]; the B output channels of q/k get the same RoPE
-    interleave->rotate-half permutation as the base weights (ops/rope.py).
-    peft's alpha/r scaling convention matches ours, so values import raw.
-    """
+def _parse_lora_stacked(files_or_sd, c) -> Dict[str, List[np.ndarray]]:
+    """Parse reference peft LoRA safetensors (files or a state dict) into
+    stacked per-layer A/B matrices in our kernel convention (A [in,r],
+    B [r,out], RoPE-permuted q/k output channels)."""
     if isinstance(files_or_sd, dict):
         sd = {k: np.asarray(v) for k, v in files_or_sd.items()}
     else:
@@ -250,10 +241,6 @@ def import_lora_safetensors(files_or_sd, dit, params: Dict[str, Any],
 
     sd = {norm_key(k): v for k, v in sd.items()}
 
-    c = dit.cfg
-    if c.lora_rank <= 0:
-        raise ValueError("DiT config has lora_rank=0 — no LoRA slots to fill "
-                         "(use fuse_lora for inference configs)")
     heads, hd = c.num_attention_heads, c.attention_head_dim
     perm = _rope_permutation(hd)
     full_perm = np.concatenate([perm + h * hd for h in range(heads)])
@@ -267,6 +254,52 @@ def import_lora_safetensors(files_or_sd, dit, params: Dict[str, Any],
             b = b[:, full_perm]          # RoPE permutation on the q/k delta
             stacked.setdefault(f"{proj}_lora_A", []).append(a)
             stacked.setdefault(f"{proj}_lora_B", []).append(b)
+    return stacked
+
+
+def fuse_lora_files(files_or_sd, dit, params: Dict[str, Any],
+                    lora_alpha: float = 128.0) -> Dict[str, Any]:
+    """Fold reference peft LoRA safetensors straight into the base q/k
+    kernels — the inference path (reference `infer.py:199` load +
+    `infer.py:279` `pipe.fuse_lora()`), usable when the DiT was built with
+    `lora_rank=0` (no in-layer slots)."""
+    import jax.numpy as jnp
+
+    stacked = _parse_lora_stacked(files_or_sd, dit.cfg)
+    attn1 = dict(params["blocks"]["attn1"])
+    for proj in ("to_q", "to_k"):
+        a = np.stack(stacked[f"{proj}_lora_A"])     # [L, in, r]
+        b = np.stack(stacked[f"{proj}_lora_B"])     # [L, r, out]
+        r = a.shape[-1]
+        delta = jnp.einsum("lir,lro->lio", jnp.asarray(a),
+                           jnp.asarray(b)) * (lora_alpha / r)
+        base = dict(attn1[proj])
+        base["kernel"] = (base["kernel"].astype(jnp.float32)
+                          + delta).astype(attn1[proj]["kernel"].dtype)
+        attn1[proj] = base
+    out = dict(params)
+    out["blocks"] = dict(params["blocks"], attn1=attn1)
+    return out
+
+
+def import_lora_safetensors(files_or_sd, dit, params: Dict[str, Any],
+                            ) -> Dict[str, Any]:
+    """Load reference peft LoRA safetensors into the in-layer stacked
+    `blocks/attn1/to_{q,k}_lora_{A,B}` params.
+
+    Mirrors `load_mixed_lora_weights` (reference `util/utils.py:1027-1048`,
+    wired at `infer.py:199`): keys are
+    `transformer[.module].transformer_blocks.{i}.attn1.to_{q,k}.lora_{A,B}.weight`
+    with peft shapes A [r, in] / B [out, r].  Transposed to our kernel-style
+    A [in, r] / B [r, out]; the B output channels of q/k get the same RoPE
+    interleave->rotate-half permutation as the base weights (ops/rope.py).
+    peft's alpha/r scaling convention matches ours, so values import raw.
+    """
+    c = dit.cfg
+    if c.lora_rank <= 0:
+        raise ValueError("DiT config has lora_rank=0 — no LoRA slots to fill "
+                         "(use fuse_lora_files for inference configs)")
+    stacked = _parse_lora_stacked(files_or_sd, c)
 
     import jax.numpy as jnp
 

@@ -60,6 +60,24 @@ class MetricsLogger:
                     self.tb.add_scalar(k, v, step)
 
 
+def noised_conditioning_image(image: np.ndarray,
+                              dense_mask_first: Optional[np.ndarray],
+                              rng: np.random.Generator,
+                              mean: float = -1.0,
+                              std: float = 0.5) -> np.ndarray:
+    """Reference `process_image` (train.py:1057-1079): the conditioning
+    frame gets `randn * exp(N(mean, std))` noise, spatially gated by the
+    first-frame dense mask, BEFORE VAE encode.  image [B,1,3,H,W];
+    dense_mask_first [B,H,W] (None -> unmasked, reference mean=-3 variant).
+    Pure numpy so the math unit-tests against a literal mirror."""
+    b = image.shape[0]
+    sigma = np.exp(rng.normal(mean, std, size=(b, 1, 1, 1, 1)))
+    noise = rng.standard_normal(image.shape) * sigma
+    if dense_mask_first is not None:
+        noise = noise * dense_mask_first[:, None, None]   # -> [B,1,1,H,W]
+    return (image + noise).astype(np.float32)
+
+
 @dataclasses.dataclass
 class TrainDriver:
     trainer: Trainer
@@ -86,15 +104,34 @@ class TrainDriver:
         b = video.shape[0]
 
         if self.vae is not None:
+            cfg = self.cfg
+            stoch = cfg.stochastic_vae
+
+            def enc(x):
+                # latent_dist.sample() per encode call with a fresh key
+                # (reference train.py:1327-1337); mode when disabled
+                k = (jax.random.key(int(rng.integers(2**31 - 1)))
+                     if stoch else None)
+                return self.vae.encode(self.vae_params, x, key=k, sample=stoch)
+
             # encode per sample: the loader batch is batch_size x accum
             # (grad accumulation), and a whole-batch encode would scale peak
             # activation memory with accum — the configuration accumulation
             # exists to AVOID (reference encodes one micro-batch per
             # accelerator.accumulate step)
             video_lat = jnp.concatenate(
-                [self.vae.encode(self.vae_params, video[i:i + 1])
-                 for i in range(b)], axis=0)
-            image_lat = self.vae.encode(self.vae_params, video[:, :1])
+                [enc(video[i:i + 1]) for i in range(b)], axis=0)
+            image = video[:, :1]
+            if cfg.image_noise:
+                # mask-modulated conditioning-image noising (reference
+                # `process_image`, train.py:1057-1079)
+                dm_first = np.stack(
+                    [np.asarray(sample["dense_mask"][i][0], np.float32)
+                     for i in range(b)])
+                image = jnp.asarray(noised_conditioning_image(
+                    np.asarray(image, np.float32), dm_first, rng,
+                    mean=cfg.image_noise_mean, std=cfg.image_noise_std))
+            image_lat = enc(image)
             pad = jnp.zeros((b, video_lat.shape[1] - 1) + image_lat.shape[2:],
                             image_lat.dtype)
             image_lat = jnp.concatenate([image_lat, pad], axis=1)

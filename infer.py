@@ -59,6 +59,15 @@ def get_args(argv=None):
                    help="mute fixture .pt (required for single-track audio)")
     p.add_argument("--prompt_embeds", type=str, default=None,
                    help="precomputed T5 embeddings .npy [1,226,4096]")
+    p.add_argument("--negative_prompt_embeds", type=str, default=None,
+                   help="precomputed negative T5 embeddings .npy (pairs with "
+                        "--prompt_embeds; reference encodes a real negative "
+                        "prompt, pipeline_bindyouravatar.py:295-374)")
+    p.add_argument("--lora_path", type=str, nargs="*", default=None,
+                   help="peft LoRA safetensors file(s) fused into the base "
+                        "q/k kernels (reference infer.py:199,279)")
+    p.add_argument("--lora_alpha", type=float, default=128.0,
+                   help="LoRA alpha for fusion (reference r=128, alpha=128)")
     p.add_argument("--t5_dir", type=str, default=None,
                    help="local T5 checkpoint+tokenizer dir (zero-egress "
                         "environments: use --prompt_embeds instead)")
@@ -138,7 +147,38 @@ def load_params(pipe, args):
             params["dit"], audio=args.reference_audio_modules,
             face=args.reference_face_modules,
             router=args.reference_router_modules)
+    if args.lora_path:
+        from bindyouravatar_tpu.training.checkpoint import fuse_lora_files
+
+        params["dit"] = fuse_lora_files(args.lora_path, pipe.dit,
+                                        params["dit"],
+                                        lora_alpha=args.lora_alpha)
+        print(f"[lora] fused {len(args.lora_path)} LoRA file(s) "
+              f"(alpha={args.lora_alpha}) into the base q/k kernels")
     return params
+
+
+def save_routing_debug(routing, grid, output_dir: str, fps: int):
+    """Render per-layer routing masks of the FINAL denoise step plus the
+    step-mean to mp4s (reference `draw_routing_logit`,
+    `util/utils.py:771-784`, flag `infer.py:391`)."""
+    from bindyouravatar_tpu.utils.media import save_routing_video
+
+    if routing is None:
+        print("[warn] --draw_routing_logits: the face/router path is off "
+              "(no id conditioning) — no routing logits to draw",
+              file=sys.stderr)
+        return
+    r = np.asarray(routing, np.float32)            # [steps, num_ca, B, S, I]
+    dbg = os.path.join(output_dir, "routing_logits")
+    os.makedirs(dbg, exist_ok=True)
+    for layer in range(r.shape[1]):
+        save_routing_video(r[-1, layer, 0], grid,
+                           os.path.join(dbg, f"final_step_layer{layer:02d}.mp4"),
+                           fps=fps)
+    save_routing_video(r[:, :, 0].mean(axis=(0, 1)), grid,
+                       os.path.join(dbg, "mean_over_steps_layers.mp4"), fps=fps)
+    print(f"[routing] wrote {r.shape[1] + 1} mask videos to {dbg}")
 
 
 def main(argv=None):
@@ -243,7 +283,15 @@ def main(argv=None):
     # --- text --------------------------------------------------------------
     if args.prompt_embeds:
         pe = jnp.asarray(np.load(args.prompt_embeds))
-        ne = jnp.zeros_like(pe)
+        if args.negative_prompt_embeds:
+            ne = jnp.asarray(np.load(args.negative_prompt_embeds))
+            assert ne.shape == pe.shape, (
+                f"negative embeds {ne.shape} != prompt embeds {pe.shape}")
+        else:
+            print("[warn] no --negative_prompt_embeds: using ZERO negative "
+                  "embeddings (the reference encodes a real negative prompt "
+                  "— CFG quality differs)", file=sys.stderr)
+            ne = jnp.zeros_like(pe)
     elif args.t5_dir:
         from bindyouravatar_tpu.models.t5 import encode_prompts
         from bindyouravatar_tpu.training.import_encoders import import_t5_encoder
@@ -263,6 +311,9 @@ def main(argv=None):
                             max_length=c.max_text_seq_length)
     else:
         # no local T5 weights: zero embeddings keep the pipeline runnable
+        print("[warn] no --prompt_embeds / --t5_dir: using ZERO text "
+              "embeddings — output is UNCONDITIONED on the prompt (smoke / "
+              "perf runs only)", file=sys.stderr)
         pe = jnp.zeros((1, c.max_text_seq_length, c.text_embed_dim))
         ne = jnp.zeros_like(pe)
 
@@ -277,8 +328,14 @@ def main(argv=None):
                 mute_embeds=mute, af_matrix=af)
 
     key = jax.random.key(args.seed)
-    video = pipe.generate(params, pe, ne, image, key, image_bg=image_bg,
-                          routing_forcing=forcing, **cond)
+    if args.draw_routing_logits:
+        video, routing = pipe.generate(
+            params, pe, ne, image, key, image_bg=image_bg,
+            routing_forcing=forcing, return_routing=True, **cond)
+        save_routing_debug(routing, c.latent_grid, args.output_dir, args.fps)
+    else:
+        video = pipe.generate(params, pe, ne, image, key, image_bg=image_bg,
+                              routing_forcing=forcing, **cond)
     out_path = os.path.join(args.output_dir, "output.mp4")
     export_to_video(np.asarray(video[0]), out_path, fps=args.fps)
 

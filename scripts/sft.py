@@ -40,6 +40,13 @@ def get_args(argv=None):
     p.add_argument("--mask_prob", type=float, default=0.2)
     p.add_argument("--index_mask_drop_prob", type=float, default=0.2)
     p.add_argument("--noised_image_dropout", type=float, default=0.05)
+    p.add_argument("--no_image_noise", action="store_true",
+                   help="disable mask-modulated conditioning-image noising "
+                        "(reference process_image, train.py:1057-1079, is ON "
+                        "by default)")
+    p.add_argument("--no_stochastic_vae", action="store_true",
+                   help="use the VAE posterior mode instead of sampling "
+                        "(reference samples, train.py:1327-1337)")
     p.add_argument("--ema_decay", type=float, default=None)
     p.add_argument("--fsdp", type=int, default=None,
                    help="fsdp axis size (default: all devices)")
@@ -84,6 +91,8 @@ def main(argv=None):
         id_dist_loss_weight=args.id_dist_loss_weight,
         mask_prob=args.mask_prob, index_mask_drop_prob=args.index_mask_drop_prob,
         noised_image_dropout=args.noised_image_dropout,
+        image_noise=not args.no_image_noise,
+        stochastic_vae=not args.no_stochastic_vae,
         ema_decay=args.ema_decay, seed=args.seed)
 
     if args.model_size == "tiny":

@@ -205,6 +205,52 @@ def test_import_lora_safetensors_and_fuse():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_fuse_lora_files_matches_import_then_fuse(tmp_path):
+    """The rank-0 inference path (`infer.py --lora_path` ->
+    `fuse_lora_files`) produces the same fused kernels as import-into-slots
+    + `fuse_lora`, from an actual safetensors file on disk."""
+    from safetensors.numpy import save_file
+
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.training.checkpoint import (
+        fuse_lora, fuse_lora_files, import_lora_safetensors)
+
+    rank = 4
+    dit = DiT.tiny(lora_rank=rank, in_channels=8, out_channels=4)
+    c = dit.cfg
+    params = dit.init(jax.random.key(0))
+    inner = c.num_attention_heads * c.attention_head_dim
+
+    rng = np.random.default_rng(3)
+    sd = {}
+    for i in range(c.num_layers):
+        for proj in ("to_q", "to_k"):
+            base = f"transformer.transformer_blocks.{i}.attn1.{proj}"
+            sd[f"{base}.lora_A.weight"] = rng.normal(
+                0, 0.05, (rank, c.inner_dim)).astype(np.float32)
+            sd[f"{base}.lora_B.weight"] = rng.normal(
+                0, 0.05, (inner, rank)).astype(np.float32)
+    f = str(tmp_path / "lora.safetensors")
+    save_file(sd, f)
+
+    fused_a = fuse_lora(import_lora_safetensors(sd, dit, params),
+                        lora_alpha=c.lora_alpha)
+
+    # rank-0 param tree: same base weights, no LoRA slots
+    attn1 = {k: v for k, v in params["blocks"]["attn1"].items()
+             if "lora" not in k}
+    params0 = dict(params, blocks=dict(params["blocks"], attn1=attn1))
+    dit0 = DiT.tiny(lora_rank=0, in_channels=8, out_channels=4)
+    fused_b = fuse_lora_files([f], dit0, params0, lora_alpha=c.lora_alpha)
+
+    for proj in ("to_q", "to_k"):
+        ka = np.asarray(fused_a["blocks"]["attn1"][proj]["kernel"])
+        kb = np.asarray(fused_b["blocks"]["attn1"][proj]["kernel"])
+        np.testing.assert_allclose(ka, kb, atol=1e-6)
+        assert not np.allclose(                      # fused != base
+            kb, np.asarray(params["blocks"]["attn1"][proj]["kernel"]))
+
+
 def test_import_lora_rejects_rank_mismatch():
     from bindyouravatar_tpu.models.dit import DiT
     from bindyouravatar_tpu.training.checkpoint import import_lora_safetensors

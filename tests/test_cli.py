@@ -150,6 +150,81 @@ def test_batch_driver_plumbing(tmp_path, monkeypatch):
     assert str(tmp_path / "out" / "001") in calls[0]
 
 
+def test_cli_lora_and_negative_embeds(tmp_path):
+    """`--lora_path` fuses through load_params (fused != base forward, and
+    == an unfused lora-slot run), and `--negative_prompt_embeds` loads into
+    the CFG pair (reference infer.py:199,279 + pipeline:295-374)."""
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    import infer
+    from bindyouravatar_tpu.models.dit import DiT
+    from bindyouravatar_tpu.training.checkpoint import import_lora_safetensors
+
+    rank = 4
+    dit_l = DiT.tiny(lora_rank=rank, in_channels=8, out_channels=4)
+    c = dit_l.cfg
+    inner = c.num_attention_heads * c.attention_head_dim
+    rng = np.random.default_rng(11)
+    sd = {}
+    for i in range(c.num_layers):
+        for proj in ("to_q", "to_k"):
+            base = f"transformer.transformer_blocks.{i}.attn1.{proj}"
+            sd[f"{base}.lora_A.weight"] = rng.normal(
+                0, 0.2, (rank, c.inner_dim)).astype(np.float32)
+            sd[f"{base}.lora_B.weight"] = rng.normal(
+                0, 0.2, (inner, rank)).astype(np.float32)
+    f = str(tmp_path / "lora.safetensors")
+    save_file(sd, f)
+
+    base_argv = ["--model_size", "tiny"]
+    args_base = infer.get_args(base_argv)
+    args_lora = infer.get_args(base_argv + [
+        "--lora_path", f, "--lora_alpha", str(c.lora_alpha)])
+    pipe = infer.build_models(args_base)
+    p_base = infer.load_params(pipe, args_base)
+    p_lora = infer.load_params(pipe, args_lora)
+
+    t, _, _ = c.latent_grid
+    lat = jax.random.normal(jax.random.key(1),
+                            (1, t, c.in_channels, c.sample_height,
+                             c.sample_width))
+    text = jax.random.normal(jax.random.key(2),
+                             (1, c.max_text_seq_length, c.text_embed_dim))
+    ts = jnp.full((1,), 300.0)
+    rope = pipe.dit.rope(c.sample_height * 8, c.sample_width * 8, t)
+    out_base, _ = pipe.dit.apply(p_base["dit"], lat, text, ts, rope)
+    out_cli, _ = pipe.dit.apply(p_lora["dit"], lat, text, ts, rope)
+    assert not np.allclose(np.asarray(out_base), np.asarray(out_cli),
+                           atol=1e-4)
+
+    # unfused run with lora slots == the CLI-fused run
+    import flax.traverse_util as tu
+
+    p_slots = dit_l.init(jax.random.key(0))
+    flat = tu.flatten_dict(p_slots)
+    flat_base = tu.flatten_dict(p_base["dit"])
+    for k in flat:
+        if k in flat_base:
+            flat[k] = flat_base[k]
+    p_unfused = import_lora_safetensors(sd, dit_l, tu.unflatten_dict(flat))
+    out_unfused, _ = dit_l.apply(p_unfused, lat, text, ts, rope)
+    np.testing.assert_allclose(np.asarray(out_cli), np.asarray(out_unfused),
+                               atol=2e-4, rtol=1e-4)
+
+    # negative_prompt_embeds flag surface
+    pe = np.random.default_rng(0).normal(
+        0, 1, (1, c.max_text_seq_length, c.text_embed_dim)).astype(np.float32)
+    npe = np.full_like(pe, 0.5)
+    np.save(tmp_path / "pe.npy", pe)
+    np.save(tmp_path / "ne.npy", npe)
+    args = infer.get_args(["--prompt_embeds", str(tmp_path / "pe.npy"),
+                           "--negative_prompt_embeds",
+                           str(tmp_path / "ne.npy")])
+    assert args.negative_prompt_embeds.endswith("ne.npy")
+
+
 def test_cli_tiny_tp2(tmp_path):
     """infer.py --tp 2: TP-sharded serving path through the full CLI
     (the conditioned flagship needs >=2 chips for weights)."""

@@ -79,6 +79,84 @@ def test_prefetch_loader_and_collate():
     loader.close()
 
 
+def test_noised_conditioning_image_math():
+    """`noised_conditioning_image` == a literal numpy mirror of the
+    reference `process_image` (train.py:1057-1079): sigma = exp(N(mean,
+    std)) per batch element, noise gated by the first-frame dense mask."""
+    from bindyouravatar_tpu.training.train_loop import noised_conditioning_image
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(0, 0.5, (2, 1, 3, 8, 10)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 8, 10)) > 0.5).astype(np.float32)
+
+    out = noised_conditioning_image(img, mask, np.random.default_rng(77),
+                                    mean=-1.0, std=0.5)
+
+    # mirror with the same rng consumption order
+    r2 = np.random.default_rng(77)
+    sigma = np.exp(r2.normal(-1.0, 0.5, size=(2, 1, 1, 1, 1)))
+    noise = r2.standard_normal(img.shape) * sigma
+    expect = img + noise * mask[:, None, None]
+    np.testing.assert_allclose(out, expect.astype(np.float32), atol=1e-7)
+
+    # mask gates exactly: pixels with mask==0 are untouched
+    gated = np.broadcast_to(mask[:, None, None], img.shape) == 0.0
+    np.testing.assert_array_equal(out[gated], img[gated])
+    assert np.abs(out - img)[~gated].max() > 0.0
+
+    # unmasked variant (reference mean=-3 path) perturbs everything
+    out2 = noised_conditioning_image(img, None, np.random.default_rng(1),
+                                     mean=-3.0, std=0.5)
+    assert np.all(np.abs(out2 - img) > 0.0)
+
+
+def test_prepare_batch_image_noise_and_stochastic_vae(tmp_path):
+    """prepare_batch applies the conditioning-image noising + stochastic
+    VAE sampling (reference train.py:1057-1079, 1327-1337); both are
+    rng-driven and flag-gated back to deterministic."""
+    dit = DiT.tiny(lora_rank=0, in_channels=8, out_channels=4)
+    vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16),
+                              layers_per_block=1, latent_channels=4,
+                              norm_num_groups=4, dtype=jnp.float32))
+    vae_params = vae.init(jax.random.key(1))
+    c = dit.cfg
+    ds = SyntheticAvatarDataset(
+        length=2, num_frames=c.sample_frames,
+        height=c.sample_height * 8, width=c.sample_width * 8,
+        audio_blocks=dit.audio_cfg.blocks, audio_dim=dit.audio_cfg.audio_dim)
+    sample = collate([ds[0]])
+
+    def mk(cfg):
+        tr = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()),
+                     cfg=cfg)
+        return TrainDriver(trainer=tr, vae=vae, vae_params=vae_params,
+                           cfg=cfg, output_dir=str(tmp_path))
+
+    text = np.zeros((1, c.max_text_seq_length, c.text_embed_dim), np.float32)
+
+    det = mk(TrainConfig(image_noise=False, stochastic_vae=False))
+    b1 = det.prepare_batch(sample, np.random.default_rng(0), text_embeds=text)
+    b2 = det.prepare_batch(sample, np.random.default_rng(1), text_embeds=text)
+    np.testing.assert_array_equal(np.asarray(b1["video_latents"]),
+                                  np.asarray(b2["video_latents"]))
+    np.testing.assert_array_equal(np.asarray(b1["image_latents"]),
+                                  np.asarray(b2["image_latents"]))
+
+    ref = mk(TrainConfig())            # reference behavior: both ON
+    r1 = ref.prepare_batch(sample, np.random.default_rng(0), text_embeds=text)
+    r2 = ref.prepare_batch(sample, np.random.default_rng(1), text_embeds=text)
+    assert np.abs(np.asarray(r1["video_latents"])
+                  - np.asarray(r2["video_latents"])).max() > 1e-6
+    assert np.abs(np.asarray(r1["image_latents"])
+                  - np.asarray(r2["image_latents"])).max() > 1e-6
+    # noising + sampling perturb, not replace: latents stay correlated
+    assert np.abs(np.asarray(r1["video_latents"])
+                  - np.asarray(b1["video_latents"])).mean() < np.abs(
+        np.asarray(b1["video_latents"])).mean()
+    # padding rows beyond the first latent frame stay zero
+    assert np.abs(np.asarray(r1["image_latents"])[:, 1:]).max() == 0.0
+
+
 @pytest.mark.slow
 def test_train_driver_end_to_end(tmp_path):
     """Synthetic data -> VAE encode -> teacher masks -> sharded-free train

@@ -106,6 +106,40 @@ def test_routing_forcing_path(setup):
     assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-5
 
 
+def test_denoise_return_routing(setup):
+    """`return_routing` (the --draw_routing_logits surface) yields per-step
+    per-layer routing logits from the cond CFG half without changing the
+    latents, and renders through save_routing_video."""
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    prompt = jax.random.normal(jax.random.key(2), (2, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    img_lat = jax.random.normal(jax.random.key(3),
+                                (1, c.latent_frames, 4, c.sample_height,
+                                 c.sample_width))
+    cond = _cond(dit)
+    lat_plain = pipe.denoise(params["dit"], prompt, img_lat,
+                             jax.random.key(5), **cond)
+    lat, routing = pipe.denoise(params["dit"], prompt, img_lat,
+                                jax.random.key(5), return_routing=True, **cond)
+    np.testing.assert_array_equal(np.asarray(lat), np.asarray(lat_plain))
+    steps = pipe.cfg.num_inference_steps
+    assert routing.shape == (steps, c.num_ca, 1, c.video_seq_len, c.num_ids)
+    r = np.asarray(routing, np.float32)
+    assert np.all((r >= 0.0) & (r <= 1.0))        # sigmoid outputs
+    assert np.all(np.isfinite(r))
+
+    import tempfile
+
+    from bindyouravatar_tpu.utils.media import save_routing_video
+
+    with tempfile.TemporaryDirectory() as d:
+        p = save_routing_video(r[-1, -1, 0], c.latent_grid, d + "/r.mp4")
+        import os
+        assert os.path.getsize(p) > 0
+
+
 def test_cfg_double_and_temporal_or():
     x = jnp.arange(6.0).reshape(1, 3, 2)
     d = cfg_double(x, False)

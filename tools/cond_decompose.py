@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 def run(face: bool, audio: bool):
     sys.path.insert(0, ".")
-        from bindyouravatar_tpu.config import DiTConfig
+    from bindyouravatar_tpu.config import DiTConfig
     from bindyouravatar_tpu.models.dit import DiT
 
     cfg = DiTConfig(num_layers=42, is_train_face=face, is_train_audio=audio,

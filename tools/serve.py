@@ -26,10 +26,23 @@ def main(argv=None):
 
     argv = list(sys.argv[1:] if argv is None else argv)
     port = int(os.environ.get("BYA_SERVE_PORT", "8976"))
+    host, data_root = "127.0.0.1", None
     if "--port" in argv:
         i = argv.index("--port")
         port = int(argv[i + 1])
         del argv[i:i + 2]
+    if "--host" in argv:   # opt-in exposure; pair with --data_root
+        i = argv.index("--host")
+        host = argv[i + 1]
+        del argv[i:i + 2]
+    if "--data_root" in argv:
+        i = argv.index("--data_root")
+        data_root = argv[i + 1]
+        del argv[i:i + 2]
+    if host not in ("127.0.0.1", "localhost") and data_root is None:
+        raise SystemExit("--host exposes np.load/np.save on request paths; "
+                         "non-loopback binds require --data_root to confine "
+                         "them")
     args = get_args(argv)
 
     import jax
@@ -48,10 +61,10 @@ def main(argv=None):
         print(f"[tp] DiT params sharded over {args.tp} chips")
 
     server = InferenceServer(pipe, params)
-    print(f"[serve] listening on :{port} "
+    print(f"[serve] listening on {host}:{port} "
           f"(steps={args.num_inference_steps}, size={args.model_size}; "
           f"first request compiles the denoise loop)")
-    serve_http(server, host="0.0.0.0", port=port, block=True)
+    serve_http(server, host=host, port=port, block=True, data_root=data_root)
 
 
 if __name__ == "__main__":
