@@ -119,13 +119,17 @@ def import_reference_dit(safetensor_files: List[str], dit,
     (`transformer.py:1061-1073`).  Conditioning sub-modules load via
     `import_reference_submodules`.
     """
-    from safetensors import safe_open
+    if isinstance(safetensor_files, dict):      # in-memory state dict
+        sd: Dict[str, np.ndarray] = {k: np.asarray(v)
+                                     for k, v in safetensor_files.items()}
+    else:
+        from safetensors import safe_open
 
-    sd: Dict[str, np.ndarray] = {}
-    for f in safetensor_files:
-        with safe_open(f, framework="np") as fp:
-            for k in fp.keys():
-                sd[k] = fp.get_tensor(k)
+        sd = {}
+        for f in safetensor_files:
+            with safe_open(f, framework="np") as fp:
+                for k in fp.keys():
+                    sd[k] = fp.get_tensor(k)
 
     c = dit.cfg
     heads, hd = c.num_attention_heads, c.attention_head_dim
