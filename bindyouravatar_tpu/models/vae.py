@@ -69,18 +69,20 @@ class SpatialNorm3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, zq):
-        # upsample zq (nearest) to x's T/H/W
+        # upsample zq (nearest) to x's T/H/W — diffusers splits the first
+        # frame only when x's frame count is odd (>1); even counts get a
+        # plain nearest interpolate (parity: tests/test_vae_parity.py)
         bt, t, h, w, _ = x.shape
         zt = zq.shape[1]
         if zt != t:
-            # causal temporal nearest: first frame once, others repeated
-            rep = (t - 1) // max(zt - 1, 1) if zt > 1 else t
-            if zt > 1:
+            if t > 1 and t % 2 == 1 and zt > 1:
                 first, rest = zq[:, :1], zq[:, 1:]
-                rest = jnp.repeat(rest, rep, axis=1)
-                zq = jnp.concatenate([first, rest], axis=1)[:, :t]
+                idx = (jnp.arange(t - 1) * (zt - 1)) // (t - 1)
+                rest = jnp.take(rest, idx, axis=1)
+                zq = jnp.concatenate([first, rest], axis=1)
             else:
-                zq = jnp.repeat(zq, t, axis=1)
+                idx = (jnp.arange(t) * zt) // t
+                zq = jnp.take(zq, idx, axis=1)
         if zq.shape[2] != h:
             fh, fw = h // zq.shape[2], w // zq.shape[3]
             zq = jnp.repeat(jnp.repeat(zq, fh, axis=2), fw, axis=3)
@@ -164,9 +166,17 @@ class Upsample3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.compress_time and x.shape[1] > 1:
-            first, rest = x[:, :1], x[:, 1:]
-            rest = jnp.repeat(rest, 2, axis=1)
-            x = jnp.concatenate([first, rest], axis=1)   # t -> 2t-1
+            if x.shape[1] % 2 == 1:
+                # causal odd path: frame 0 kept once -> 2t-1 (the 13->25->49
+                # production chain)
+                first, rest = x[:, :1], x[:, 1:]
+                rest = jnp.repeat(rest, 2, axis=1)
+                x = jnp.concatenate([first, rest], axis=1)
+            else:
+                # diffusers CogVideoXUpsample3D interpolates the whole
+                # tensor for even t (t -> 2t); parity-pinned in
+                # tests/test_vae_parity.py
+                x = jnp.repeat(x, 2, axis=1)
         x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
         return nn.Conv(self.features, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
                        dtype=self.dtype, param_dtype=self.param_dtype,
@@ -332,7 +342,10 @@ class CausalVAE:
         # shape — one compile serves the whole clip (per-shape jit cache)
         k = temporal_chunk
         first = min(k + 1, t_lat)
-        outs.append(self.decode(params, latents[:, :first]))
+        # trim to the owned pixel count: an even-sized first chunk decodes to
+        # 4t frames (diffusers even-t upsample), not 4(t-1)+1
+        outs.append(self.decode(params, latents[:, :first])
+                    [:, : r * (first - 1) + 1])
         i = first
         while i < t_lat:
             n = min(k, t_lat - i)
