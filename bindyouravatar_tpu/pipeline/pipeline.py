@@ -287,6 +287,7 @@ class BindYourAvatarPipeline:
         image_bg: Optional[jnp.ndarray] = None,
         decode: bool = True,
         return_routing: bool = False,
+        latents: Optional[jnp.ndarray] = None,
         **cond,
     ):
         """End-to-end: prepare latents -> denoise -> decode.
@@ -307,7 +308,7 @@ class BindYourAvatarPipeline:
         pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
         out = self.denoise(params["dit"], pe, img_lat, key,
                            bg_latents=bg_lat, return_routing=return_routing,
-                           **cond)
+                           latents=latents, **cond)
         lat, routing = out if return_routing else (out, None)
         video = lat if not decode else self.vae.decode(params["vae"], lat)
         return (video, routing) if return_routing else video

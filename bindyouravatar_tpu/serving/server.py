@@ -64,14 +64,30 @@ class GenerationResult:
 
 
 class InferenceServer:
-    """Double-buffered request server over one compiled pipeline."""
+    """Double-buffered request server over one compiled pipeline.
+
+    `batch_max > 1` enables cross-clip request batching: queued prepared
+    requests with identical tensor shapes are stacked along the batch axis
+    into ONE denoise launch (amortises the per-step weight reads — the HBM
+    bound — across clips).  Intended for TP-sharded serving where the mesh
+    has activation headroom (ROADMAP #6); the per-request noise then derives
+    from each request's own seed via explicit init latents, but the in-loop
+    SDE noise key is shared (documented divergence from sequential runs).
+    """
 
     def __init__(self, pipeline, params: Dict[str, Any],
-                 max_queue: int = 64):
+                 max_queue: int = 64, batch_max: int = 1,
+                 batch_wait_s: float = 0.25):
         self.pipeline = pipeline
         self.params = params
+        self.batch_max = max(1, batch_max)
+        # how long the compute loop lingers for co-batchable requests after
+        # the first arrives (only when batch_max > 1)
+        self.batch_wait_s = batch_wait_s
         self._submit_q: "queue.Queue" = queue.Queue(maxsize=max_queue)
-        self._ready_q: "queue.Queue" = queue.Queue(maxsize=1)  # double buffer
+        # depth batch_max: lets prepared requests pool up for batching
+        # (depth 1 = the classic double buffer)
+        self._ready_q: "queue.Queue" = queue.Queue(maxsize=self.batch_max)
         self._stop = threading.Event()
         self._prep_thread = threading.Thread(target=self._prep_loop,
                                              daemon=True)
@@ -175,30 +191,96 @@ class InferenceServer:
         return dict(prompt_embeds=pe, negative_prompt_embeds=neg,
                     image=dev(req.image), cond=cond)
 
+    @staticmethod
+    def _batchable(a, b) -> bool:
+        """Same tensor shapes, same cond keys, same decode flag."""
+        sa, sb = a[2], b[2]
+        if a[0].decode != b[0].decode:
+            return False
+        if set(sa["cond"]) != set(sb["cond"]):
+            return False
+        for k in ("prompt_embeds", "negative_prompt_embeds", "image"):
+            if sa[k].shape != sb[k].shape:
+                return False
+        return all(sa["cond"][k].shape == sb["cond"][k].shape
+                   for k in sa["cond"])
+
+    def _run_batch(self, items):
+        """One denoise for len(items) stacked requests; per-request init
+        latents from each request's seed."""
+        reqs = [it[0] for it in items]
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        staged = [it[2] for it in items]
+        pe = cat([s["prompt_embeds"] for s in staged])
+        ne = cat([s["negative_prompt_embeds"] for s in staged])
+        img = cat([s["image"] for s in staged])
+        cond = {k: cat([s["cond"][k] for s in staged]) for k in staged[0]["cond"]}
+
+        pipe = self.pipeline
+        c = pipe.cfg
+        t_lat = (c.num_frames - 1) // pipe.dit.cfg.temporal_compression_ratio + 1
+        ch = pipe.vae.cfg.latent_channels
+        h_lat, w_lat = c.height // 8, c.width // 8
+        lat = cat([jax.random.normal(
+            jax.random.split(jax.random.key(r.seed))[1],
+            (1, t_lat, ch, h_lat, w_lat), jnp.float32) for r in reqs])
+        out = pipe.generate(self.params, pe, ne, img,
+                            jax.random.key(reqs[0].seed),
+                            decode=reqs[0].decode, latents=lat, **cond)
+        return np.asarray(out)
+
     def _compute_loop(self):
         while True:
             item = self._ready_q.get()
             if item is None:
                 return
-            req, fut, staged, prep_s = item
-            if fut.cancelled():
+            items = [item]
+            deadline = time.perf_counter() + self.batch_wait_s
+            while len(items) < self.batch_max:
+                wait = deadline - time.perf_counter()
+                try:
+                    nxt = (self._ready_q.get(timeout=max(wait, 0.0))
+                           if wait > 0 else self._ready_q.get_nowait())
+                except queue.Empty:
+                    break
+                if nxt is None:            # shutdown mid-drain: finish batch
+                    self._ready_q.put(None)
+                    break
+                if nxt[1].cancelled():
+                    continue
+                if self._batchable(item, nxt):
+                    items.append(nxt)
+                else:                      # run it alone next iteration
+                    self._ready_q.put(nxt)
+                    break
+            items = [it for it in items if not it[1].cancelled()]
+            if not items:
                 continue
             t0 = time.perf_counter()
             try:
-                out = self.pipeline.generate(
-                    self.params, staged["prompt_embeds"],
-                    staged["negative_prompt_embeds"], staged["image"],
-                    jax.random.key(req.seed), decode=req.decode,
-                    **staged["cond"])
-                video = np.asarray(out)        # blocks: fetch result
-            except Exception as e:   # noqa: BLE001 — surfaced via the future
-                fut.set_exception(e)
+                if len(items) == 1:
+                    req, fut, staged, prep_s = items[0]
+                    out = self.pipeline.generate(
+                        self.params, staged["prompt_embeds"],
+                        staged["negative_prompt_embeds"], staged["image"],
+                        jax.random.key(req.seed), decode=req.decode,
+                        **staged["cond"])
+                    videos = [np.asarray(out)]
+                else:
+                    stacked = self._run_batch(items)
+                    videos = [stacked[i:i + 1] for i in range(len(items))]
+            except Exception as e:   # noqa: BLE001 — surfaced via the futures
+                for _, fut, _, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
                 continue
-            self.requests_served += 1
-            fut.set_result(GenerationResult(
-                request_id=req.request_id, video=video,
-                timings={"prep_s": prep_s,
-                         "compute_s": time.perf_counter() - t0}))
+            dt = time.perf_counter() - t0
+            for (req, fut, _, prep_s), video in zip(items, videos):
+                self.requests_served += 1
+                fut.set_result(GenerationResult(
+                    request_id=req.request_id, video=video,
+                    timings={"prep_s": prep_s, "compute_s": dt,
+                             "batch_size": float(len(items))}))
 
 
 # ---------------------------------------------------------------- HTTP

@@ -65,7 +65,8 @@ def test_server_pipelines_requests(served):
         assert r.video.shape == (1, c.sample_frames, 3,
                                  c.sample_height * 8, c.sample_width * 8)
         assert np.isfinite(r.video).all()
-        assert set(r.timings) == {"prep_s", "compute_s"}
+        assert {"prep_s", "compute_s"} <= set(r.timings)
+        assert r.timings.get("batch_size", 1.0) == 1.0
     # same seed -> deterministic, different seed -> different
     r0b = server.submit(_request(pipe, seed=0)).result(timeout=600)
     np.testing.assert_allclose(r0b.video, results[0].video, atol=1e-5)
@@ -104,6 +105,62 @@ def test_http_endpoint(served, tmp_path):
                                c.sample_height * 8, c.sample_width * 8)
     finally:
         httpd.shutdown()
+
+
+def test_request_batching_beats_sequential():
+    """batch_max=2 under a TP-2 mesh (VERDICT r2 #9): two co-batchable
+    queued requests run as ONE stacked denoise — per-request results keep
+    their own seeds, and the shared compute window beats the sum of two
+    sequential runs."""
+    import time as _time
+
+    from bindyouravatar_tpu.parallel.mesh import create_mesh
+    from bindyouravatar_tpu.parallel.tp import shard_params_tp
+
+    dit = DiT.tiny(in_channels=8, out_channels=4)
+    vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16),
+                              layers_per_block=1, latent_channels=4,
+                              norm_num_groups=4, dtype=jnp.float32))
+    pipe = BindYourAvatarPipeline.create(
+        dit, vae, PipelineConfig(height=dit.cfg.sample_height * 8,
+                                 width=dit.cfg.sample_width * 8,
+                                 num_frames=dit.cfg.sample_frames,
+                                 num_inference_steps=2, guidance_scale=6.0))
+    params = {"dit": dit.init(jax.random.key(0)),
+              "vae": vae.init(jax.random.key(1))}
+    mesh = create_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
+    params["dit"] = shard_params_tp(params["dit"], mesh)
+
+    batched = InferenceServer(pipe, params, batch_max=2, batch_wait_s=10.0)
+    try:
+        # warm both compile paths (batch-2 graph + per-request overheads)
+        warm = [batched.submit(_request(pipe, seed=i, rid=f"w{i}"))
+                for i in range(2)]
+        [f.result(timeout=900) for f in warm]
+
+        futs = [batched.submit(_request(pipe, seed=10 + i, rid=f"b{i}"))
+                for i in range(2)]
+        rb = [f.result(timeout=900) for f in futs]
+        assert all(r.timings["batch_size"] == 2.0 for r in rb)
+        # same shared compute window
+        assert rb[0].timings["compute_s"] == rb[1].timings["compute_s"]
+        # per-request seeds still produce distinct clips
+        assert np.abs(rb[0].video - rb[1].video).max() > 1e-4
+        t_batch = rb[0].timings["compute_s"]
+    finally:
+        batched.close()
+
+    sequential = InferenceServer(pipe, params, batch_max=1)
+    try:
+        w = sequential.submit(_request(pipe, seed=0, rid="w")).result(timeout=900)
+        futs = [sequential.submit(_request(pipe, seed=10 + i, rid=f"s{i}"))
+                for i in range(2)]
+        rs = [f.result(timeout=900) for f in futs]
+        t_seq = sum(r.timings["compute_s"] for r in rs)
+    finally:
+        sequential.close()
+    # one batch-2 launch beats two sequential launches
+    assert t_batch < t_seq, (t_batch, t_seq)
 
 
 def test_server_with_tp_sharded_params():

@@ -39,6 +39,11 @@ def main(argv=None):
         i = argv.index("--data_root")
         data_root = argv[i + 1]
         del argv[i:i + 2]
+    batch_max = 1
+    if "--batch_max" in argv:   # cross-clip request batching (TP serving)
+        i = argv.index("--batch_max")
+        batch_max = int(argv[i + 1])
+        del argv[i:i + 2]
     if host not in ("127.0.0.1", "localhost") and data_root is None:
         raise SystemExit("--host exposes np.load/np.save on request paths; "
                          "non-loopback binds require --data_root to confine "
@@ -60,7 +65,7 @@ def main(argv=None):
         params["dit"] = shard_params_tp(params["dit"], mesh)
         print(f"[tp] DiT params sharded over {args.tp} chips")
 
-    server = InferenceServer(pipe, params)
+    server = InferenceServer(pipe, params, batch_max=batch_max)
     print(f"[serve] listening on {host}:{port} "
           f"(steps={args.num_inference_steps}, size={args.model_size}; "
           f"first request compiles the denoise loop)")
