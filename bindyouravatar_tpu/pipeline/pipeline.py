@@ -110,9 +110,29 @@ class BindYourAvatarPipeline:
         reference `util/utils.py:771-784`), returns (latents, routing) where
         routing is [steps, num_ca, B, S, I] bf16 from the cond CFG half (None
         when the face/router path is off)."""
+        steps = num_inference_steps or self.cfg.num_inference_steps
+        guidance = (guidance_scale if guidance_scale is not None
+                    else self.cfg.guidance_scale)
+        args = self.prepare_denoise_inputs(
+            dit_params, prompt_embeds, image_latents, key, steps,
+            bg_latents=bg_latents, id_cond=id_cond,
+            id_vit_hidden=id_vit_hidden, audio_embeds=audio_embeds,
+            mute_embeds=mute_embeds, af_matrix=af_matrix,
+            routing_forcing=routing_forcing, latents=latents)
+        run_loop = self._jitted_loop(steps, float(guidance),
+                                     return_routing=return_routing)
+        out = run_loop(dit_params, *args)
+        return out if return_routing else out[0]
+
+    def prepare_denoise_inputs(self, dit_params, prompt_embeds, image_latents,
+                               key, steps, *, bg_latents=None, id_cond=None,
+                               id_vit_hidden=None, audio_embeds=None,
+                               mute_embeds=None, af_matrix=None,
+                               routing_forcing=None, latents=None):
+        """Build the positional args the compiled loop consumes (everything
+        after `dit_params`) — CFG doubling, per-clip conditioning precompute,
+        RoPE tables, scan xs, init latents."""
         c = self.cfg
-        steps = num_inference_steps or c.num_inference_steps
-        guidance = guidance_scale if guidance_scale is not None else c.guidance_scale
         b, t_lat, ch, h_lat, w_lat = image_latents.shape
         zero2cond = c.zero2cond_cfg
 
@@ -155,11 +175,34 @@ class BindYourAvatarPipeline:
 
         xs = (jnp.asarray(ts), jnp.asarray(prev_ts), jnp.asarray(ts_back),
               jnp.asarray(second))
-        run_loop = self._jitted_loop(steps, float(guidance),
-                                     return_routing=return_routing)
-        out = run_loop(dit_params, pe, img_lat2, bg2, face2, actx2,
-                       af2, force2, rope, xs, latents, key)
-        return out if return_routing else out[0]
+        return (pe, img_lat2, bg2, face2, actx2, af2, force2, rope, xs,
+                latents, key)
+
+    def aot_compile_loop(self, steps: int, guidance: float, param_structs,
+                         arg_structs):
+        """AOT-compile the denoise loop with AUTO argument layouts (the
+        bench.py single-chip recipe: XLA picks the stacked-weight layouts
+        and the caller MATERIALISES params directly in them — without this
+        the loop inserts ~4 GB of loop-invariant transposed weight copies).
+
+        Returns (compiled, param_formats).  Call as
+        `compiled(params, *args)` with params device_put into
+        `param_formats` and args built by `prepare_denoise_inputs`."""
+        from jax.experimental.layout import Format, Layout
+
+        base = self._jitted_loop(steps, float(guidance))
+        # re-wrap the traced callable: AUTO layouts for the params (the
+        # stacked weights are where the transposed copies come from), default
+        # layouts for the loop tensors (PRNG keys can't take a Format)
+        shardings = (Format(Layout.AUTO),) + (None,) * len(arg_structs)
+        fn = jax.jit(base.__wrapped__, in_shardings=shardings)
+        structs = jax.tree.map(
+            lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                       if hasattr(x, "shape") else x),
+            (param_structs,) + tuple(arg_structs))
+        compiled = fn.lower(*structs).compile()
+        fmts, _ = compiled.input_formats
+        return compiled, fmts[0]
 
     # ------------------------------------------------------------------ #
     def jit_prepare_conditioning(self):

@@ -108,6 +108,7 @@ class _ObjState:
     memories: List[Tuple[int, np.ndarray, np.ndarray]]   # (t, mem, pos)
     obj_ptrs: List[Tuple[int, np.ndarray]]
     cond_memory: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    cond_mask: Optional[np.ndarray] = None   # prompted low-res mask logits
 
 
 class SAM2VideoPredictor:
@@ -175,6 +176,7 @@ class SAM2VideoPredictor:
         self_obj = _ObjState(cond_frame=frame_idx, memories=[],
                              obj_ptrs=[(frame_idx, np.asarray(obj_ptr)[0])])
         self_obj.cond_memory = (np.asarray(mem), np.asarray(pos))
+        self_obj.cond_mask = mask
         state["objs"][obj_id] = self_obj
         ids = sorted(state["objs"])
         return ids, np.stack([self._obj_mask(state, frame_idx, i, mask)
@@ -226,6 +228,12 @@ class SAM2VideoPredictor:
             frame_masks = []
             for oid in ids:
                 obj = state["objs"][oid]
+                if t == obj.cond_frame and obj.cond_mask is not None:
+                    # sam2.1 returns the consolidated PROMPTED output for
+                    # conditioning frames instead of re-decoding promptless
+                    # under memory (ADVICE r2)
+                    frame_masks.append(obj.cond_mask)
+                    continue
                 f = state["feats"][t]
                 mem, pos, rows = self._memory_bank(obj)
                 feat = self._cond(jnp.asarray(f["feat"]), mem, pos, rows)

@@ -140,6 +140,34 @@ def test_denoise_return_routing(setup):
         assert os.path.getsize(p) > 0
 
 
+def test_aot_auto_layout_loop_matches_jit(setup):
+    """pipe.aot_compile_loop (the single-chip AUTO-weight-layout recipe used
+    by tools/e2e_flagship_smoke.py --conditioned) == the standard jitted
+    loop, bit-for-bit, params moved through the returned formats."""
+    pipe, params = setup
+    dit = pipe.dit
+    c = dit.cfg
+    prompt = jax.random.normal(jax.random.key(2), (2, c.max_text_seq_length,
+                                                   c.text_embed_dim))
+    img_lat = jax.random.normal(jax.random.key(3),
+                                (1, c.latent_frames, 4, c.sample_height,
+                                 c.sample_width))
+    cond = _cond(dit)
+    steps = pipe.cfg.num_inference_steps
+    args = pipe.prepare_denoise_inputs(
+        params["dit"], prompt, img_lat, jax.random.key(5), steps, **cond)
+
+    want, _ = pipe._jitted_loop(steps, pipe.cfg.guidance_scale)(
+        params["dit"], *args)
+
+    compiled, fmts = pipe.aot_compile_loop(
+        steps, pipe.cfg.guidance_scale, params["dit"], args)
+    placed = jax.tree.map(lambda x, f: jax.device_put(x, f),
+                          params["dit"], fmts)
+    got, _ = compiled(placed, *args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cfg_double_and_temporal_or():
     x = jnp.arange(6.0).reshape(1, 3, 2)
     d = cfg_double(x, False)

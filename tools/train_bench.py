@@ -32,7 +32,10 @@ def main():
     from bindyouravatar_tpu.training.trainer import Trainer
 
     n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    # bf16 params + moments: the single-chip-feasible probe (see docstring)
+    optimizer = sys.argv[2] if len(sys.argv) > 2 else "adamw"
+    # bf16 params + moments: the single-chip-feasible probe (see docstring);
+    # at 42 layers pass `adafactor` — factored second moments drop the
+    # optimizer state from 2x trainable to ~sqrt sizes
     cfg = DiTConfig(num_layers=n_layers, cross_attn_interval=2,
                     audio_attn_interval=1, remat=True,
                     use_flash_attention=True,
@@ -40,7 +43,7 @@ def main():
     dit = DiT.create(cfg)
     trainer = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()),
                       cfg=TrainConfig(lr_warmup_steps=1, max_train_steps=8,
-                                      grad_accum_steps=1))
+                                      grad_accum_steps=1, optimizer=optimizer))
 
     shapes = jax.eval_shape(lambda k: dit.init(k), jax.random.key(0))
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
@@ -96,6 +99,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "conditioned": True,
         "remat": True,
+        "optimizer": optimizer,
         "dtypes": "bf16 params+moments (single-chip probe)",
     }))
 
