@@ -136,17 +136,13 @@ class JointSelfAttention(nn.Module):
         text_len = encoder_hidden.shape[1]
         x = jnp.concatenate([encoder_hidden, hidden], axis=1)  # [B, L+S, D]
         s_real = x.shape[1]
-        # pad the joint sequence BEFORE the qkv projection: to the flash
-        # block multiple (q/k/v born padded — no separate pad copies, 3 x
-        # 432 MB of HBM temps at 17,776 tokens), or to the ring-shard
-        # multiple under sequence parallelism
+        # under sequence parallelism, pad the joint sequence BEFORE the qkv
+        # projection to the ring-shard multiple.  (The flash kernel itself
+        # needs NO padding: its grid is non-dividing with masked boundary
+        # stores — r3; the qkv matmuls run at the real 17,776 tokens.)
         if sp_mesh is not None:
             sp = sp_mesh.shape["sp"]
             s_pad = _round_up(s_real, sp * 128)
-            if s_pad != s_real:
-                x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
-        elif self.use_flash and s_real >= 1024:
-            s_pad = _round_up(s_real, 2048)
             if s_pad != s_real:
                 x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
         b, s, _ = x.shape

@@ -88,11 +88,28 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
 
-    # mask trailing padded kv positions (kv_len is compile-time; the branch
-    # is static per-kernel, the per-block column check is traced)
+    v = _tile(v_ref, bshd)                     # [bk, d]
+
+    # mask trailing kv positions.  Only blocks overlapping the tail (padded
+    # columns OR out-of-bounds boundary loads of the non-dividing grid) pay
+    # the iota+compare+select passes — the kernel is VPU-bound, and paying
+    # them on EVERY kv block costs ~3 extra VPU passes over the [bq, bk]
+    # scores; lax.cond skips interior blocks.  v's tail rows are zeroed too:
+    # boundary loads are UNDEFINED values (NaN in interpret mode), and
+    # 0-probability x NaN would poison the PV accumulation.
     if need_mask:
-        cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(cols < kv_len, s, NEG_INF)
+        def _mask_tail(ops):
+            sc, vv = ops
+            cols = (ik * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1))
+            sc = jnp.where(cols < kv_len, sc, NEG_INF)
+            rows = (ik * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32, vv.shape, 0))
+            vv = jnp.where(rows < kv_len, vv, jnp.zeros_like(vv))
+            return sc, vv
+
+        s, v = jax.lax.cond((ik + 1) * block_k > kv_len, _mask_tail,
+                            lambda ops: ops, (s, v))
 
     m_prev = m_ref[:, :1]                      # [bq, 1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -106,7 +123,6 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     # MXU anyway, so a ones column at index d makes acc[:, d] the softmax
     # normaliser for free — the [bq, bk] fp32 VPU reduction disappears
     # (the kernel is VPU-bound: softmax passes outnumber MXU cycles)
-    v = _tile(v_ref, bshd)                     # [bk, d]
     d = v.shape[-1]
     v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
     pv = jax.lax.dot_general(
@@ -190,16 +206,18 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         b, s, h, d = q.shape
     else:
         b, h, s, d = q.shape
-    s_pad = _round_up(s, max(block_q, block_k))
-    if s_pad != s:
-        q, k, v = _pad_seq((q, k, v), s_pad, bshd)
-    nq = s_pad // block_q
-    nk = s_pad // block_k
+    # NO input padding / output slicing: the grid is non-dividing (boundary
+    # loads are padded by Mosaic, boundary stores masked — validated exact
+    # on-chip) and every column >= kv_len is masked in-kernel.  The explicit
+    # jnp.pad + out[:, :s] slice cost ~1.5 ms of HBM copies per layer call
+    # at the 17,776-token joint shape (measured, r3 step profile).
+    nq = pl.cdiv(s, block_q)
+    nk = pl.cdiv(s, block_k)
     has_rope = rope is not None
 
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
-        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < s_pad,
+        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
         save_residuals=save_residuals, has_rope=has_rope, bshd=bshd)
 
     qo_spec, kv_spec, lse_spec, rq_spec, rk_spec = _specs(
@@ -207,15 +225,15 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
     in_specs = [qo_spec, kv_spec, kv_spec]
     inputs = [q, k, v]
     if has_rope:
-        cos, sin = _pad_rope(rope, s_pad)
+        cos, sin = rope
         in_specs += [rq_spec, rq_spec, rk_spec, rk_spec]
         inputs += [cos, sin, cos, sin]
 
-    oshape = (b, s_pad, h, d) if bshd else (b, h, s_pad, d)
+    oshape = (b, s, h, d) if bshd else (b, h, s, d)
     out_shapes = [jax.ShapeDtypeStruct(oshape, q.dtype)]
     out_specs = [qo_spec]
     if save_residuals:   # lse output costs VMEM — only when training needs it
-        out_shapes.append(jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, s, LANES), jnp.float32))
         out_specs.append(lse_spec)
 
     res = pl.pallas_call(
@@ -234,11 +252,10 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         ),
         interpret=interpret,
     )(*inputs)
-    clip = (lambda x: x[:, :s]) if bshd else (lambda x: x[:, :, :s, :])
     if save_residuals:
         out, lse = res
-        return clip(out), lse
-    return clip(res[0])
+        return out, lse
+    return res[0]
 
 
 # --------------------------------------------------------------------------

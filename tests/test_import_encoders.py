@@ -127,9 +127,11 @@ def test_import_vae_roundtrip():
             np.asarray(tu.flatten_dict(got, sep="/")[k]),
             np.asarray(tu.flatten_dict(want, sep="/")[k]), atol=0, rtol=0)
 
-    # imported tree actually runs
-    video = jax.random.normal(jax.random.key(1), (1, 5, 3, 16, 16))
+    # imported tree actually runs (odd latent frame count: even-t decode
+    # follows diffusers' t->2t interpolate, see test_vae_parity.py)
+    video = jax.random.normal(jax.random.key(1), (1, 9, 3, 16, 16))
     lat = vae.encode(got, video)
+    assert lat.shape[1] == 3
     out = vae.decode(got, lat)
-    assert out.shape == (1, 5, 3, 16, 16)
+    assert out.shape == (1, 9, 3, 16, 16)
     assert np.all(np.isfinite(np.asarray(out)))

@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_opstats(log_dir: str, top: int = 40):
+    """framework_op_stats returns a gviz JSON datatable (list of tables) —
+    flatten to dicts keyed by column id."""
+    import json as _json
+
     from xprof.convert import raw_to_tool_data as rtd
 
     paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
@@ -29,17 +33,16 @@ def parse_opstats(log_dir: str, top: int = 40):
                                       "framework_op_stats", {"tqx": "out:csv;"})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = list(csv.DictReader(io.StringIO(data)))
-    for r in rows:
-        for k in ("Total self-time (us)", "TFLOPs", "Bandwidth (GiB/s)",
-                  "Avg. self-time (us)", "Occurrences"):
-            if k in r and r[k] not in (None, ""):
-                try:
-                    r[k] = float(r[k].replace(",", ""))
-                except (ValueError, AttributeError):
-                    pass
-    rows = [r for r in rows if isinstance(r.get("Total self-time (us)"), float)]
-    rows.sort(key=lambda r: -r["Total self-time (us)"])
+    tables = _json.loads(data)
+    rows = []
+    for tbl in (tables if isinstance(tables, list) else [tables]):
+        ids = [c["id"] for c in tbl["cols"]]
+        for row in tbl.get("rows", []):
+            rows.append({i: (c or {}).get("v") for i, c in
+                         zip(ids, row["c"])})
+    rows = [r for r in rows if r.get("host_or_device") == "Device"
+            and isinstance(r.get("total_self_time"), (int, float))]
+    rows.sort(key=lambda r: -r["total_self_time"])
     return rows[:top]
 
 
@@ -67,15 +70,17 @@ def main():
         jax.profiler.stop_trace()
 
     rows = parse_opstats(args.out, args.top)
-    total = sum(r["Total self-time (us)"] for r in rows)
-    print(f"{'self us':>12} {'%':>6} {'occ':>6} {'GiB/s':>8} {'TFLOPs':>8}  op")
+    total = sum(r["total_self_time"] for r in rows)
+    print(f"{'self us':>10} {'%':>6} {'occ':>5} {'GB/s':>7} {'GFLOP/s':>9} "
+          f"{'bound':>7}  op")
     for r in rows:
-        print(f"{r['Total self-time (us)']:>12.0f} "
-              f"{100 * r['Total self-time (us)'] / total:>6.1f} "
-              f"{r.get('Occurrences', ''):>6} "
-              f"{r.get('Bandwidth (GiB/s)', ''):>8} "
-              f"{r.get('TFLOPs', ''):>8}  "
-              f"{r.get('Operation', r.get('Op name', '?'))[:90]}")
+        print(f"{r['total_self_time']:>10.0f} "
+              f"{100 * r['total_self_time'] / total:>6.1f} "
+              f"{r.get('occurrences') or '':>5} "
+              f"{round(r.get('measured_memory_bw') or 0):>7} "
+              f"{round(r.get('model_flop_rate') or 0):>9} "
+              f"{(r.get('bound_by') or ''):>7}  "
+              f"{str(r.get('operation', '?'))[:80]}")
 
 
 if __name__ == "__main__":
