@@ -108,6 +108,23 @@ class FeedForward(nn.Module):
                         param_dtype=self.param_dtype, name="net_2")(h)
 
 
+class _Affine(nn.Module):
+    """Registers LayerNorm-compatible scale/bias params without running the
+    norm — the fused-QK-norm path reads them and normalises inside the flash
+    kernel; the param tree stays identical to `LayerNorm` (checkpoints /
+    importers unchanged)."""
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,),
+                       self.param_dtype)
+        return s, b
+
+
 class JointSelfAttention(nn.Module):
     """CogVideoX joint text+video self-attention.
 
@@ -130,7 +147,7 @@ class JointSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden, encoder_hidden,
                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-                 sp_mesh=None):
+                 sp_mesh=None, fuse_qk_norm: bool = False):
         from ..ops.flash_attention import _round_up
 
         text_len = encoder_hidden.shape[1]
@@ -167,9 +184,20 @@ class JointSelfAttention(nn.Module):
         k = with_lora("to_k", dense("to_k")(x)).reshape(b, s, self.heads, self.head_dim)
         v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
 
+        qk_aff = None
         if self.qk_norm:
-            q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
-            k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
+            if fuse_qk_norm and sp_mesh is None:
+                # inference: LN runs inside the flash kernel on VMEM tiles —
+                # outside, the [B,S,H,64] fp32 round trips land on a 2x
+                # lane-padded layout (~234 ms/step of converts, r3 profile)
+                qs_, qb_ = _Affine(self.head_dim, self.param_dtype,
+                                   name="norm_q")()
+                ks_, kb_ = _Affine(self.head_dim, self.param_dtype,
+                                   name="norm_k")()
+                qk_aff = (qs_, qb_, ks_, kb_)
+            else:
+                q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
+                k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
 
         if sp_mesh is not None:
             # sequence-parallel ring attention over the `sp` mesh axis —
@@ -195,7 +223,8 @@ class JointSelfAttention(nn.Module):
             # natural layout, so no [B,H,S,D] transpose ever hits HBM; RoPE
             # is fused into the kernel (each costs GBs of padded temps/step)
             o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
-                          rope=rope, rope_start=text_len, layout="bshd")
+                          rope=rope, rope_start=text_len, layout="bshd",
+                          qk_norm=qk_aff)
         o = o[:, :s_real].reshape(b, s_real, inner)
         o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_out")(o)
@@ -219,7 +248,8 @@ class CogVideoXBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, encoder_hidden, temb, rope, sp_mesh=None):
+    def __call__(self, hidden, encoder_hidden, temb, rope, sp_mesh=None,
+                 fuse_qk_norm: bool = False):
         text_len = encoder_hidden.shape[1]
         norm1 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="norm1")
@@ -229,7 +259,7 @@ class CogVideoXBlock(nn.Module):
             bias=self.attention_bias, use_flash=self.use_flash,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            name="attn1")(nh, ne, rope, sp_mesh)
+            name="attn1")(nh, ne, rope, sp_mesh, fuse_qk_norm)
         hidden = hidden + (gate * attn_h).astype(hidden.dtype)
         encoder_hidden = encoder_hidden + (e_gate * attn_e).astype(hidden.dtype)
 

@@ -52,13 +52,15 @@ def attention(
     rope=None,
     rope_start: int = 0,
     layout: str = "bhsd",
+    qk_norm=None,
 ) -> jnp.ndarray:
     """Self/cross attention over [B, H, S, D] (or [B, S, H, D]) tensors.
 
     Dispatches to the Pallas flash kernel when `use_flash` and the shape is
     worth it (long sequences on TPU); otherwise XLA SDPA.  `rope`/`rope_start`
     fuse the rotary embedding into the kernel (or apply it here on the
-    fallback path) — see `flash_attention`.
+    fallback path); `qk_norm` fuses the per-head QK LayerNorm — see
+    `flash_attention`.
     """
     seq_axis = 1 if layout == "bshd" else 2
     if (use_flash and q.shape[seq_axis] >= 1024
@@ -66,9 +68,22 @@ def attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
-                               rope=rope, rope_start=rope_start, layout=layout)
+                               rope=rope, rope_start=rope_start, layout=layout,
+                               qk_norm=qk_norm)
     if layout == "bshd":
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    if qk_norm is not None:
+        qs_, qb_, ks_, kb_ = (a.astype(jnp.float32) for a in qk_norm)
+
+        def _ln(x, sc, bi):
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            c = xf - mu
+            var = (c * c).mean(-1, keepdims=True)
+            return ((c * jax.lax.rsqrt(var + 1e-6)) * sc + bi).astype(x.dtype)
+
+        q = _ln(q, qs_, qb_)
+        k = _ln(k, ks_, kb_)
     if rope is not None:
         from .rope import apply_rotary_emb
 

@@ -56,13 +56,33 @@ def _tile(ref, bshd: bool):
     return ref[0, :, 0, :] if bshd else ref[0, 0]
 
 
+def _layernorm_tile(x, scale_ref, bias_ref, eps=1e-6):
+    """Per-row LayerNorm over the last (head) dim of a [rows, d] tile,
+    fp32 statistics — the QK-norm fused into the kernel.  Outside the
+    kernel this LN runs on the [B, S, H, 64] layout whose minor dims pad
+    to (8, 128) tiles: 2x HBM blowup on fp32 round trips (~234 ms/step of
+    converts measured in the r3 profile)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    y = c * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[...] + bias_ref[...]
+
+
 def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
                 num_kv_blocks: int, need_mask: bool, save_residuals: bool,
-                has_rope: bool, bshd: bool):
+                has_rope: bool, bshd: bool, has_qk_norm: bool = False):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
     if has_rope:
-        q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, *rest = refs
-    else:
-        q_ref, k_ref, v_ref, *rest = refs
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[:4]
+        refs = refs[4:]
+    if has_qk_norm:
+        qs_ref, qb_ref, ks_ref, kb_ref = refs[:4]
+        refs = refs[4:]
+    rest = refs
     if save_residuals:
         o_ref, lse_ref, m_ref, acc_ref = rest
     else:
@@ -77,9 +97,26 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
 
     q = _tile(q_ref, bshd)  # [bq, d]
     k = _tile(k_ref, bshd)  # [bk, d]
+    if has_qk_norm:          # QK-LN first, then rope (reference order)
+        q = _layernorm_tile(q, qs_ref, qb_ref).astype(q.dtype)
+        k = _layernorm_tile(k, ks_ref, kb_ref).astype(k.dtype)
     if has_rope:
         q = _rope_tile(q, cq_ref[...], sq_ref[...])
         k = _rope_tile(k, ck_ref[...], sk_ref[...])
+    v = _tile(v_ref, bshd)                     # [bk, d]
+
+    if need_mask:
+        # the grid is non-dividing: k/v boundary loads beyond kv_len hold
+        # UNDEFINED values (NaN in interpret mode) — zero those [bk, d]
+        # tails (post-rope, so garbage cos/sin rows are covered too).  At
+        # d=64 these passes cost ~1/12 of one [bq, bk] score pass; the
+        # [bq, bk] NEG_INF score mask they replace cost ~3 such passes
+        # (3.8 ms/call measured at the joint shape).
+        rows_kd = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, k.shape, 0)
+        k = jnp.where(rows_kd < kv_len, k, jnp.zeros_like(k))
+        v = jnp.where(rows_kd < kv_len, v, jnp.zeros_like(v))
+
     # fold the softmax scale into the [bq, d] q tile — scaling the [bq, bk]
     # fp32 score tile instead costs a full VPU pass per block (bk/d = 24x
     # more elements; the kernel is VPU-bound)
@@ -87,29 +124,6 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-
-    v = _tile(v_ref, bshd)                     # [bk, d]
-
-    # mask trailing kv positions.  Only blocks overlapping the tail (padded
-    # columns OR out-of-bounds boundary loads of the non-dividing grid) pay
-    # the iota+compare+select passes — the kernel is VPU-bound, and paying
-    # them on EVERY kv block costs ~3 extra VPU passes over the [bq, bk]
-    # scores; lax.cond skips interior blocks.  v's tail rows are zeroed too:
-    # boundary loads are UNDEFINED values (NaN in interpret mode), and
-    # 0-probability x NaN would poison the PV accumulation.
-    if need_mask:
-        def _mask_tail(ops):
-            sc, vv = ops
-            cols = (ik * block_k
-                    + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1))
-            sc = jnp.where(cols < kv_len, sc, NEG_INF)
-            rows = (ik * block_k
-                    + jax.lax.broadcasted_iota(jnp.int32, vv.shape, 0))
-            vv = jnp.where(rows < kv_len, vv, jnp.zeros_like(vv))
-            return sc, vv
-
-        s, v = jax.lax.cond((ik + 1) * block_k > kv_len, _mask_tail,
-                            lambda ops: ops, (s, v))
 
     m_prev = m_ref[:, :1]                      # [bq, 1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -120,11 +134,27 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
 
     # row-sum of p rides the PV matmul: v is lane-padded 64 -> 128 on the
-    # MXU anyway, so a ones column at index d makes acc[:, d] the softmax
+    # MXU anyway, so an extra column at index d makes acc[:, d] the softmax
     # normaliser for free — the [bq, bk] fp32 VPU reduction disappears
-    # (the kernel is VPU-bound: softmax passes outnumber MXU cycles)
+    # (the kernel is VPU-bound: softmax passes outnumber MXU cycles).
+    #
+    # kv-tail masking ALSO rides that column: instead of a NEG_INF
+    # iota+compare+select over the [bq, bk] scores (~3 VPU passes, measured
+    # 3.8 ms/call at the joint shape), the column holds VALIDITY (1 for
+    # rows < kv_len, 0 for the zero-padded tail) — pad columns then
+    # contribute 0 to both the numerator (v rows are zero-padded) and the
+    # denominator, which is exact: the online-softmax max shift cancels in
+    # the p@v / p@valid ratio.  The tail's s=0 scores only raise the
+    # running max (a stability shift, harmless for the QK-LN-bounded
+    # scores of this model).  The validity column is a [bk, 1] compute.
     d = v.shape[-1]
-    v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+    if need_mask:
+        rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (v.shape[0], 1), 0)
+        valid = (rows < kv_len).astype(v.dtype)
+    else:
+        valid = jnp.ones((v.shape[0], 1), v.dtype)
+    v_ext = jnp.concatenate([v, valid], axis=1)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -201,16 +231,17 @@ def _pad_seq(arrs, s_pad, bshd):
 
 def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
               block_q: int, block_k: int, interpret: bool,
-              save_residuals: bool = False, bshd: bool = False):
+              save_residuals: bool = False, bshd: bool = False,
+              qk_norm=None):
     if bshd:
         b, s, h, d = q.shape
     else:
         b, h, s, d = q.shape
-    # NO input padding / output slicing: the grid is non-dividing (boundary
-    # loads are padded by Mosaic, boundary stores masked — validated exact
-    # on-chip) and every column >= kv_len is masked in-kernel.  The explicit
-    # jnp.pad + out[:, :s] slice cost ~1.5 ms of HBM copies per layer call
-    # at the 17,776-token joint shape (measured, r3 step profile).
+    # NO input padding or output slicing: the grid is non-dividing (Mosaic
+    # pads boundary loads — contents undefined, handled by the in-kernel
+    # tail zeroing — and masks boundary stores).  The explicit jnp.pads +
+    # out[:, :s] slice cost ~1.5 ms of HBM copies per layer call at the
+    # 17,776-token joint shape (r3 step profile).
     nq = pl.cdiv(s, block_q)
     nk = pl.cdiv(s, block_k)
     has_rope = rope is not None
@@ -218,7 +249,8 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
-        save_residuals=save_residuals, has_rope=has_rope, bshd=bshd)
+        save_residuals=save_residuals, has_rope=has_rope, bshd=bshd,
+        has_qk_norm=qk_norm is not None)
 
     qo_spec, kv_spec, lse_spec, rq_spec, rk_spec = _specs(
         block_q, block_k, d, bshd)
@@ -228,6 +260,11 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         cos, sin = rope
         in_specs += [rq_spec, rq_spec, rk_spec, rk_spec]
         inputs += [cos, sin, cos, sin]
+    if qk_norm is not None:
+        aff_spec = pl.BlockSpec((1, d), lambda *idx: (0, 0))
+        for a in qk_norm:   # (q_scale, q_bias, k_scale, k_bias), each [d]
+            inputs.append(a.astype(jnp.float32).reshape(1, d))
+            in_specs.append(aff_spec)
 
     oshape = (b, s, h, d) if bshd else (b, h, s, d)
     out_shapes = [jax.ShapeDtypeStruct(oshape, q.dtype)]
@@ -573,6 +610,8 @@ def flash_attention(
     block_k: int = 1536,   # TF/s bf16 @ S=18432, D=64, with/without rope
     interpret: Optional[bool] = None,
     layout: str = "bhsd",
+    qk_norm: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Flash attention (self-attention, non-causal).
 
@@ -585,6 +624,11 @@ def flash_attention(
     the kernel; positions before `rope_start` (text tokens) and after the
     table (padding) are left unrotated.  On non-TPU backends falls back to
     rotating in XLA + SDPA.
+
+    `qk_norm=(q_scale, q_bias, k_scale, k_bias)` ([D] each) fuses the
+    per-head QK LayerNorm (eps 1e-6, fp32 stats) into the kernel BEFORE
+    rope — inference-path only (the fused call bypasses the custom_vjp;
+    training applies the LN outside).
     """
     bshd = layout == "bshd"
     if bshd:
@@ -619,6 +663,18 @@ def flash_attention(
     if interpret is None and not on_tpu:
         if bshd:
             q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        if qk_norm is not None:
+            qs_, qb_, ks_, kb_ = (a.astype(jnp.float32) for a in qk_norm)
+
+            def _ln(x, sc, bi):
+                xf = x.astype(jnp.float32)
+                mu = xf.mean(-1, keepdims=True)
+                c_ = xf - mu
+                var = (c_ * c_).mean(-1, keepdims=True)
+                return ((c_ * jax.lax.rsqrt(var + 1e-6)) * sc + bi).astype(x.dtype)
+
+            q = _ln(q, qs_, qb_)
+            k = _ln(k, ks_, kb_)
         if cos is not None:
             from .rope import apply_rotary_emb
 
@@ -643,6 +699,19 @@ def flash_attention(
         # -> 1408) fall back to a single kv block
         block_k = block_q
 
+    if qk_norm is not None:
+        # fused QK-LN path: plain pallas call, no custom_vjp (inference)
+        rope_t = None if cos is None else (cos, sin)
+        if bshd and not interpret:
+            q, k, v = jax.lax.optimization_barrier((q, k, v))
+            q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            out = _fwd_impl(q, k, v, rope_t, float(scale), int(kv_len),
+                            int(block_q), int(block_k), interpret,
+                            bshd=False, qk_norm=qk_norm)
+            return out.transpose(0, 2, 1, 3)
+        return _fwd_impl(q, k, v, rope_t, float(scale), int(kv_len),
+                         int(block_q), int(block_k), interpret, bshd=bshd,
+                         qk_norm=qk_norm)
     if bshd and not interpret:
         # Mosaic can't block the head dim of [B,S,H,D] (second-to-last block
         # dims must be 8-divisible); transpose to [B,H,S,D] for the kernel.

@@ -290,6 +290,35 @@ def test_flash_fused_rope_matches_external_rope():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_fused_qk_norm_matches_unfused():
+    """Kernel-fused QK LayerNorm (inference path) == LN outside + kernel,
+    interpret mode, incl. the kv-tail validity column."""
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+
+    b, h, s, d = 1, 2, 256 + 64, 64   # non-dividing tail
+    kv = s - 32
+    ks_ = jax.random.split(jax.random.key(0), 7)
+    q = jax.random.normal(ks_[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, h, s, d), jnp.float32)
+    qs = 1.0 + 0.1 * jax.random.normal(ks_[3], (d,))
+    qb = 0.1 * jax.random.normal(ks_[4], (d,))
+    ksc = 1.0 + 0.1 * jax.random.normal(ks_[5], (d,))
+    kb = 0.1 * jax.random.normal(ks_[6], (d,))
+
+    def ln(x, sc, bi):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * sc + bi
+
+    want = flash_attention(ln(q, qs, qb), ln(k, ksc, kb), v, kv_len=kv,
+                           block_q=128, block_k=128, interpret=True)
+    got = flash_attention(q, k, v, kv_len=kv, block_q=128, block_k=128,
+                          interpret=True, qk_norm=(qs, qb, ksc, kb))
+    np.testing.assert_allclose(np.asarray(got[:, :, :kv]),
+                               np.asarray(want[:, :, :kv]), atol=2e-5)
+
+
 def test_flash_fused_rope_backward():
     """Fused-rope custom_vjp grads == XLA autodiff through rope+sdpa."""
     from bindyouravatar_tpu.ops.flash_attention import _flash
