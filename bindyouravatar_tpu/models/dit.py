@@ -376,8 +376,7 @@ class DiT:
             for j in range(g):
                 hid_, enc_ = m["block"].apply(
                     {"params": _tree_at(group_xs["blocks"], j)},
-                    hid_, enc_, temb, rope, sp_mesh,
-                    deterministic)   # fused QK-norm on the inference path
+                    hid_, enc_, temb, rope, sp_mesh)
 
                 if c.is_train_face and face_emb is not None and j % c.cross_attn_interval == 0:
                     pj = j // c.cross_attn_interval

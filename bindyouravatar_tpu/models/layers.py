@@ -108,23 +108,6 @@ class FeedForward(nn.Module):
                         param_dtype=self.param_dtype, name="net_2")(h)
 
 
-class _Affine(nn.Module):
-    """Registers LayerNorm-compatible scale/bias params without running the
-    norm — the fused-QK-norm path reads them and normalises inside the flash
-    kernel; the param tree stays identical to `LayerNorm` (checkpoints /
-    importers unchanged)."""
-    dim: int
-    param_dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.dim,),
-                       self.param_dtype)
-        b = self.param("bias", nn.initializers.zeros, (self.dim,),
-                       self.param_dtype)
-        return s, b
-
-
 class JointSelfAttention(nn.Module):
     """CogVideoX joint text+video self-attention.
 
@@ -147,19 +130,23 @@ class JointSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden, encoder_hidden,
                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-                 sp_mesh=None, fuse_qk_norm: bool = False):
+                 sp_mesh=None):
         from ..ops.flash_attention import _round_up
 
         text_len = encoder_hidden.shape[1]
         x = jnp.concatenate([encoder_hidden, hidden], axis=1)  # [B, L+S, D]
         s_real = x.shape[1]
-        # under sequence parallelism, pad the joint sequence BEFORE the qkv
-        # projection to the ring-shard multiple.  (The flash kernel itself
-        # needs NO padding: its grid is non-dividing with masked boundary
-        # stores — r3; the qkv matmuls run at the real 17,776 tokens.)
+        # pad the joint sequence BEFORE the qkv projection: to the flash
+        # block multiple (q/k/v born padded — no separate pad copies, 3 x
+        # 432 MB of HBM temps at 17,776 tokens), or to the ring-shard
+        # multiple under sequence parallelism
         if sp_mesh is not None:
             sp = sp_mesh.shape["sp"]
             s_pad = _round_up(s_real, sp * 128)
+            if s_pad != s_real:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
+        elif self.use_flash and s_real >= 1024:
+            s_pad = _round_up(s_real, 2048)
             if s_pad != s_real:
                 x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
         b, s, _ = x.shape
@@ -184,20 +171,17 @@ class JointSelfAttention(nn.Module):
         k = with_lora("to_k", dense("to_k")(x)).reshape(b, s, self.heads, self.head_dim)
         v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
 
+        # NOTE (r3, measured): fusing this LN into the flash kernel
+        # (`flash_attention(qk_norm=...)`) is a LOSS in-model — the kernel
+        # reloads q/k tiles per (iq, ik) grid step, so the LN's cross-lane
+        # mean/var reductions recompute nk/nq times (+26 ms/call), and
+        # removing the LN between the qkv dots and the bhsd transpose lets
+        # XLA fuse the transpose into the dot epilogues (139 -> 92 TF/s).
+        # The separate LN's padded-layout round trip is the cheaper evil.
         qk_aff = None
         if self.qk_norm:
-            if fuse_qk_norm and sp_mesh is None:
-                # inference: LN runs inside the flash kernel on VMEM tiles —
-                # outside, the [B,S,H,64] fp32 round trips land on a 2x
-                # lane-padded layout (~234 ms/step of converts, r3 profile)
-                qs_, qb_ = _Affine(self.head_dim, self.param_dtype,
-                                   name="norm_q")()
-                ks_, kb_ = _Affine(self.head_dim, self.param_dtype,
-                                   name="norm_k")()
-                qk_aff = (qs_, qb_, ks_, kb_)
-            else:
-                q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
-                k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
+            q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
+            k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
 
         if sp_mesh is not None:
             # sequence-parallel ring attention over the `sp` mesh axis —
@@ -248,8 +232,7 @@ class CogVideoXBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, encoder_hidden, temb, rope, sp_mesh=None,
-                 fuse_qk_norm: bool = False):
+    def __call__(self, hidden, encoder_hidden, temb, rope, sp_mesh=None):
         text_len = encoder_hidden.shape[1]
         norm1 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="norm1")
@@ -259,7 +242,7 @@ class CogVideoXBlock(nn.Module):
             bias=self.attention_bias, use_flash=self.use_flash,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            name="attn1")(nh, ne, rope, sp_mesh, fuse_qk_norm)
+            name="attn1")(nh, ne, rope, sp_mesh)
         hidden = hidden + (gate * attn_h).astype(hidden.dtype)
         encoder_hidden = encoder_hidden + (e_gate * attn_e).astype(hidden.dtype)
 
