@@ -167,6 +167,10 @@ class JointSelfAttention(nn.Module):
             delta = (x @ a.astype(x.dtype)) @ bb.astype(x.dtype) * scaling
             return base + delta
 
+        # (r3, measured: pinning the FLAT projections with a barrier to
+        # stop the transpose fusing into the dots is a LOSS in-model —
+        # bare step 7038 -> 7134 ms — the fused epilogue beats a plain dot
+        # + separate transpose here despite the lower reported TF/s)
         q = with_lora("to_q", dense("to_q")(x)).reshape(b, s, self.heads, self.head_dim)
         k = with_lora("to_k", dense("to_k")(x)).reshape(b, s, self.heads, self.head_dim)
         v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
