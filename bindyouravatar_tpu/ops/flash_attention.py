@@ -121,6 +121,10 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     # fp32 score tile instead costs a full VPU pass per block (bk/d = 24x
     # more elements; the kernel is VPU-bound)
     q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # (r3, measured: rounding the scores to bf16 after the dot — to halve
+    # the softmax passes' VMEM bandwidth — is NOT faster (57.2 vs 56.5 ms)
+    # and costs 2.5x output accuracy; Mosaic also requires fp32 matmul acc,
+    # so the early-bf16 variant can't skip the cast pass.  fp32 kept.)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
