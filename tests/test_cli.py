@@ -225,6 +225,39 @@ def test_cli_lora_and_negative_embeds(tmp_path):
     assert args.negative_prompt_embeds.endswith("ne.npy")
 
 
+def test_cli_draw_routing_logits(tmp_path):
+    """`--draw_routing_logits` surface: save_routing_debug renders per-layer
+    + mean mask mp4s from [steps, num_ca, B, S, I] routing (reference
+    draw_routing_logit, util/utils.py:771-784), and the CLI flag completes
+    (warning) when the face/router path is off."""
+    import infer
+
+    rng = np.random.default_rng(0)
+    r = rng.uniform(0, 1, (3, 2, 1, 2 * 4 * 6, 2)).astype(np.float32)
+    infer.save_routing_debug(r, (2, 4, 6), str(tmp_path), fps=5)
+    dbg = tmp_path / "routing_logits"
+    files = sorted(os.listdir(dbg))
+    assert files == ["final_step_layer00.mp4", "final_step_layer01.mp4",
+                     "mean_over_steps_layers.mp4"]
+    assert all(os.path.getsize(dbg / f) > 0 for f in files)
+
+    # no face conditioning -> routing is None -> loud warning, no crash
+    infer.save_routing_debug(None, (2, 4, 6), str(tmp_path), fps=5)
+
+    import torch
+
+    a1, a2 = str(tmp_path / "a1.pt"), str(tmp_path / "a2.pt")
+    for p in (a1, a2):
+        torch.save(torch.randn(13, 2, 16), p)
+    out = infer.main([
+        "--model_size", "tiny", "--draw_routing_logits",
+        "--audio_path", a1, a2,
+        "--num_inference_steps", "2", "--num_frames", "9",
+        "--height", "128", "--width", "192",
+        "--output_dir", str(tmp_path / "out_r")])
+    assert os.path.isfile(out)
+
+
 def test_cli_tiny_tp2(tmp_path):
     """infer.py --tp 2: TP-sharded serving path through the full CLI
     (the conditioned flagship needs >=2 chips for weights)."""
