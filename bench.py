@@ -42,7 +42,7 @@ def build(conditioned: bool):
     from bindyouravatar_tpu.models.dit import DiT
 
     cfg = DiTConfig(num_layers=42, is_train_face=conditioned,
-                    is_train_audio=conditioned,
+                    is_train_audio=conditioned, fuse_qk_norm=True,
                     param_dtype=jnp.bfloat16, dtype=jnp.bfloat16)
     dit = DiT.create(cfg)
     shapes = jax.eval_shape(lambda k: dit.init(k), jax.random.key(0))

@@ -63,6 +63,8 @@ class DiTConfig:
     dtype: jnp.dtype = jnp.bfloat16     # activation/compute dtype
     param_dtype: jnp.dtype = jnp.float32
     use_flash_attention: bool = True    # Pallas kernel; False => XLA SDPA
+    fuse_qk_norm: bool = False          # inference-only: flat-layout flash
+    # with in-kernel QK-LN + RoPE (no vjp; keep False for training)
     remat: bool = False                 # jax.checkpoint each scan group
 
     @property

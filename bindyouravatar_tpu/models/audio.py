@@ -91,11 +91,11 @@ class AudioProjModel(nn.Module):
 
 
 class EinsumOutProj(nn.Module):
-    """to_out applied to the kernel's head-major [G, H, R, D] layout via one
-    einsum — no [G, R, H*D] head-merge transpose is materialised.  Param
-    tree (kernel [H*D, out], bias [out]) is identical to nn.Dense.
-    `bias_scale` scales the bias per query token (the identity-combined
-    path's bias is sum_i(w_i) * bias, PARITY divergence #10)."""
+    """to_out with a per-query-scaled bias: the identity-combined path's
+    bias is sum_i(w_i) * bias (PARITY divergence #10).  Input is the
+    kernel's q-major output flattened to [..., Sq, H*D] — a plain matmul in
+    the projection's natural layout.  Param tree (kernel [H*D, out],
+    bias [out]) is identical to nn.Dense."""
     out_dim: int
     heads: int
     dim_head: int
@@ -109,9 +109,7 @@ class EinsumOutProj(nn.Module):
                           self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.out_dim,),
                           self.param_dtype)
-        w = kern.reshape(self.heads, self.dim_head,
-                         self.out_dim).astype(self.dtype)
-        y = jnp.einsum("ghqd,hdo->gqo", o, w)
+        y = o @ kern.astype(self.dtype)
         return y + bias_scale[..., None] * bias.astype(self.dtype)
 
 
@@ -155,10 +153,15 @@ class AudioCrossAttnLayer(nn.Module):
                      param_dtype=self.param_dtype, name="to_v")(audio_ctx)
 
         if weights is not None:
-            from ..ops.short_kv_attention import short_kv_attention_combined
+            from ..ops.short_kv_attention import short_kv_attention_combined_flat
 
-            qk = (q.reshape(b, f, hw, nh, dh).transpose(0, 1, 3, 2, 4)
-                  .reshape(b * f, nh, hw, dh))
+            # q stays FLAT in the to_q projection's natural (8,128)-tiled
+            # layout ([B,S,inner] -> [B*F, HW, inner] splits the sublane
+            # dim only): no lane-padded [.., H, 64] q array exists, so
+            # XLA fuses no strided-relayout epilogue into the to_q matmul
+            # (head-major layout measured ~24 TF/s in-model; 4D q-major
+            # still pads 64->128 and regressed)
+            qk = q.reshape(b * f, hw, nh * dh)
             kk = (k.reshape(b, n_id, f, n_ctx, nh, dh)
                   .transpose(0, 2, 1, 4, 3, 5)
                   .reshape(b * f, n_id, nh, n_ctx, dh))
@@ -166,11 +169,12 @@ class AudioCrossAttnLayer(nn.Module):
                   .transpose(0, 2, 1, 4, 3, 5)
                   .reshape(b * f, n_id, nh, n_ctx, dh))
             wk = weights.astype(self.dtype).reshape(b * f, hw, n_id)
-            o = short_kv_attention_combined(qk, kk, vk, wk, dh ** -0.5)
+            o = short_kv_attention_combined_flat(qk, kk, vk, wk, dh ** -0.5)
             inject = EinsumOutProj(d, nh, dh, dtype=self.dtype,
                                    param_dtype=self.param_dtype,
-                                   name="to_out")(o, wk.sum(-1))
-            return inject.reshape(b, s, d)
+                                   name="to_out")(o.reshape(b, s, nh * dh),
+                                                  wk.sum(-1).reshape(b, s))
+            return inject
 
         q = q.reshape(b, f, hw, nh, dh)
         k = k.reshape(b, n_id, f, n_ctx, nh, dh)

@@ -115,6 +115,7 @@ class DiT:
                 head_dim=c.attention_head_dim, time_embed_dim=c.time_embed_dim,
                 eps=c.norm_eps, ff_mult=c.ff_mult, qk_norm=c.qk_norm,
                 attention_bias=c.attention_bias, use_flash=c.use_flash_attention,
+                fuse_qk_norm=c.fuse_qk_norm,
                 lora_rank=c.lora_rank, lora_alpha=c.lora_alpha, **kw),
             norm_final=LayerNorm(eps=c.norm_eps, param_dtype=c.param_dtype),
             norm_out=AdaLayerNorm(c.inner_dim, eps=c.norm_eps, **kw),

@@ -108,6 +108,23 @@ class FeedForward(nn.Module):
                         param_dtype=self.param_dtype, name="net_2")(h)
 
 
+class _Affine(nn.Module):
+    """Registers LayerNorm-compatible scale/bias params without running the
+    norm — the fused-QK-norm flat path reads them and normalises inside the
+    flash kernel; the param tree stays identical to `LayerNorm` (checkpoints
+    and importers unchanged)."""
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,),
+                       self.param_dtype)
+        return s, b
+
+
 class JointSelfAttention(nn.Module):
     """CogVideoX joint text+video self-attention.
 
@@ -115,6 +132,12 @@ class JointSelfAttention(nn.Module):
     (eps 1e-6), RoPE applied to the video positions only, out projection.
     Mirrors `CogVideoXAttnProcessor2_0` as wired at
     reference `models/transformer.py:200-208`.
+
+    `fuse_qk_norm=True` (inference only — the fused path has no vjp) keeps
+    q/k/v in the projections' FLAT [B, S, H*D] layout end to end and runs
+    the QK-LN + RoPE inside the flat flash kernel: no lane-padded
+    [B,S,H,64] arrays, no LN round trips, no transpose epilogues on the
+    qkv dots (to_v measured at 88 TF/s vs 139 clean).
     """
     heads: int
     head_dim: int
@@ -122,6 +145,7 @@ class JointSelfAttention(nn.Module):
     bias: bool = True
     out_bias: bool = True
     use_flash: bool = True
+    fuse_qk_norm: bool = False
     lora_rank: int = 0       # LoRA on to_q/to_k (reference trains r=128 there)
     lora_alpha: float = 128.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -167,6 +191,27 @@ class JointSelfAttention(nn.Module):
             delta = (x @ a.astype(x.dtype)) @ bb.astype(x.dtype) * scaling
             return base + delta
 
+        flat = (self.fuse_qk_norm and self.qk_norm and sp_mesh is None
+                and self.use_flash and s >= 1024
+                and self.head_dim in (32, 64, 128))
+        if flat:
+            # FLAT inference path: q/k/v stay [B, S, H*D]; LN+RoPE fuse
+            # into the flat flash kernel (scratch-cached, computed once per
+            # tile — unlike the reverted per-grid-step fusion, +26 ms/call)
+            q = with_lora("to_q", dense("to_q")(x))
+            k = with_lora("to_k", dense("to_k")(x))
+            v = dense("to_v")(x)
+            qs_, qb_ = _Affine(self.head_dim, self.param_dtype, name="norm_q")()
+            ks_, kb_ = _Affine(self.head_dim, self.param_dtype, name="norm_k")()
+            o = attention(q, k, v, use_flash=True, kv_len=s_real,
+                          rope=rope, rope_start=text_len, layout="flat",
+                          heads=self.heads, qk_norm=(qs_, qb_, ks_, kb_))
+            o = o[:, :s_real]
+            o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="to_out")(o)
+            return o[:, text_len:], o[:, :text_len]
+
         # (r3, measured: pinning the FLAT projections with a barrier to
         # stop the transpose fusing into the dots is a LOSS in-model —
         # bare step 7038 -> 7134 ms — the fused epilogue beats a plain dot
@@ -176,12 +221,12 @@ class JointSelfAttention(nn.Module):
         v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
 
         # NOTE (r3, measured): fusing this LN into the flash kernel
-        # (`flash_attention(qk_norm=...)`) is a LOSS in-model — the kernel
-        # reloads q/k tiles per (iq, ik) grid step, so the LN's cross-lane
-        # mean/var reductions recompute nk/nq times (+26 ms/call), and
-        # removing the LN between the qkv dots and the bhsd transpose lets
-        # XLA fuse the transpose into the dot epilogues (139 -> 92 TF/s).
-        # The separate LN's padded-layout round trip is the cheaper evil.
+        # per-grid-step (`flash_attention(qk_norm=...)` on the bhsd path)
+        # is a LOSS in-model — the kernel reloads q/k tiles per (iq, ik)
+        # grid step, so the LN's cross-lane mean/var reductions recompute
+        # nk/nq times (+26 ms/call).  The FLAT path above fixes that with
+        # scratch caching; this bshd path (training / SP / tiny shapes)
+        # keeps the outside LN.
         qk_aff = None
         if self.qk_norm:
             q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
@@ -230,6 +275,7 @@ class CogVideoXBlock(nn.Module):
     qk_norm: bool = True
     attention_bias: bool = True
     use_flash: bool = True
+    fuse_qk_norm: bool = False
     lora_rank: int = 0
     lora_alpha: float = 128.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -244,6 +290,7 @@ class CogVideoXBlock(nn.Module):
         attn_h, attn_e = JointSelfAttention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             bias=self.attention_bias, use_flash=self.use_flash,
+            fuse_qk_norm=self.fuse_qk_norm,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="attn1")(nh, ne, rope, sp_mesh)

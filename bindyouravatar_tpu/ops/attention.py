@@ -53,8 +53,10 @@ def attention(
     rope_start: int = 0,
     layout: str = "bhsd",
     qk_norm=None,
+    heads=None,
 ) -> jnp.ndarray:
-    """Self/cross attention over [B, H, S, D] (or [B, S, H, D]) tensors.
+    """Self/cross attention over [B, H, S, D], [B, S, H, D], or flat
+    [B, S, H*D] (`layout="flat"`, pass `heads`) tensors.
 
     Dispatches to the Pallas flash kernel when `use_flash` and the shape is
     worth it (long sequences on TPU); otherwise XLA SDPA.  `rope`/`rope_start`
@@ -62,14 +64,22 @@ def attention(
     fallback path); `qk_norm` fuses the per-head QK LayerNorm — see
     `flash_attention`.
     """
-    seq_axis = 1 if layout == "bshd" else 2
+    seq_axis = 2 if layout == "bhsd" else 1
     if (use_flash and q.shape[seq_axis] >= 1024
             and q.shape[seq_axis] == k.shape[seq_axis]):
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
                                rope=rope, rope_start=rope_start, layout=layout,
-                               qk_norm=qk_norm)
+                               qk_norm=qk_norm, heads=heads)
+    if layout == "flat":
+        b, s, hd = q.shape
+        d = hd // heads
+        split = lambda x: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+        out = attention(split(q), split(k), split(v), scale=scale,
+                        use_flash=False, kv_len=kv_len, rope=rope,
+                        rope_start=rope_start, layout="bhsd", qk_norm=qk_norm)
+        return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
     if layout == "bshd":
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     if qk_norm is not None:

@@ -300,6 +300,177 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
 
 
 # --------------------------------------------------------------------------
+# flat-layout forward: q/k/v/o as [B, S, H*D] — no [B,S,H,D] arrays in HBM
+# --------------------------------------------------------------------------
+#
+# The [B, S, H, 64] bshd arrays XLA materialises for the bhsd kernel are
+# lane-padded 64 -> 128 (2x HBM on every q/k/v/o and every LN round trip),
+# and the [B,H,S,D] transposes fuse into the projection epilogues (to_v
+# measured at 88 TF/s vs 139 for a clean dot).  This kernel keeps the
+# projections' FLAT layout end to end: blocks are 128-lane HEAD PAIRS
+# (for d=64; generally 128//d heads per block), the per-head QK LayerNorm
+# and RoPE run in-kernel, and — unlike the reverted per-grid-step fusion
+# (+26 ms/call) — the transformed q tile is cached in scratch per iq and
+# the transformed K for the whole sequence is cached in scratch at iq == 0,
+# so LN/rope run ONCE per tile instead of nk/nq times.  Inference path
+# only (no custom_vjp; training keeps the bshd path + outside LN).
+
+def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+                     num_kv_blocks: int, need_mask: bool, has_rope: bool,
+                     has_qk_norm: bool, dh: int, hpb: int):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    if has_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[:4]
+        refs = refs[4:]
+    if has_qk_norm:
+        qs_ref, qb_ref, ks_ref, kb_ref = refs[:4]
+        refs = refs[4:]
+    o_ref, qc_ref, kc_ref = refs[:3]
+    m_refs = refs[3:3 + hpb]
+    acc_refs = refs[3 + hpb:3 + 2 * hpb]
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    def prep(x, is_q):
+        if has_qk_norm:
+            sc, bi = (qs_ref, qb_ref) if is_q else (ks_ref, kb_ref)
+            x = _layernorm_tile(x, sc, bi).astype(x.dtype)
+        if has_rope:
+            cos, sin = (cq_ref, sq_ref) if is_q else (ck_ref, sk_ref)
+            x = _rope_tile(x, cos[...], sin[...])
+        return x
+
+    @pl.when(ik == 0)
+    def _init():
+        for mr, ar in zip(m_refs, acc_refs):
+            mr[...] = jnp.full_like(mr, NEG_INF)
+            ar[...] = jnp.zeros_like(ar)
+        qt = q_ref[0]                            # [bq, hpb*dh]
+        halves = [prep(qt[:, h * dh:(h + 1) * dh], True) for h in range(hpb)]
+        qq = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
+        qc_ref[...] = (qq.astype(jnp.float32) * sm_scale).astype(qc_ref.dtype)
+
+    @pl.when(iq == 0)
+    def _cache_k():
+        kt = k_ref[0]                            # [bk, hpb*dh]
+        halves = [prep(kt[:, h * dh:(h + 1) * dh], False) for h in range(hpb)]
+        kk = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
+        if need_mask:
+            rows = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, kk.shape, 0)
+            kk = jnp.where(rows < kv_len, kk, jnp.zeros_like(kk))
+        kc_ref[pl.ds(ik * block_k, block_k), :] = kk.astype(kc_ref.dtype)
+
+    v = v_ref[0]                                 # [bk, hpb*dh]
+    if need_mask:
+        rows = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rows < kv_len, v, jnp.zeros_like(v))
+        rcol = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (v.shape[0], 1), 0)
+        valid = (rcol < kv_len).astype(v.dtype)
+    else:
+        valid = jnp.ones((v.shape[0], 1), v.dtype)
+
+    kblk = kc_ref[pl.ds(ik * block_k, block_k), :]
+    qall = qc_ref[...]
+    for h in range(hpb):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(
+            qall[:, sl], kblk[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        m_ref = m_refs[h]
+        acc_ref = acc_refs[h]
+        m_prev = m_ref[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        v_ext = jnp.concatenate([v[:, sl], valid], axis=1)   # [bk, dh+1]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, dh+1]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _store():
+        outs = []
+        for acc_ref in acc_refs:
+            l_fin = acc_ref[:, dh:dh + 1]
+            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            outs.append(acc_ref[:, :dh] * inv)
+        out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
+                   block_q: int, block_k: int, interpret: bool,
+                   qk_norm=None):
+    """q/k/v: [B, S, H*D] flat.  Returns [B, S, H*D]."""
+    b, s, hd = q.shape
+    d = hd // heads
+    hpb = max(1, LANES // d)                     # heads per 128-lane block
+    assert heads % hpb == 0 and (hpb * d) % LANES == 0, (heads, d)
+    nq = pl.cdiv(s, block_q)
+    nk = pl.cdiv(s, block_k)
+    has_rope = rope is not None
+
+    kernel = functools.partial(
+        _fwd_flat_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
+        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
+
+    dpair = hpb * d
+    qi = lambda b_, hp, iq, ik: (b_, iq, hp)
+    ki = lambda b_, hp, iq, ik: (b_, ik, hp)
+    rq = lambda b_, hp, iq, ik: (iq, 0)
+    rk = lambda b_, hp, iq, ik: (ik, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dpair), qi),
+        pl.BlockSpec((1, block_k, dpair), ki),
+        pl.BlockSpec((1, block_k, dpair), ki),
+    ]
+    inputs = [q, k, v]
+    if has_rope:
+        cos, sin = rope
+        in_specs += [pl.BlockSpec((block_q, d), rq),
+                     pl.BlockSpec((block_q, d), rq),
+                     pl.BlockSpec((block_k, d), rk),
+                     pl.BlockSpec((block_k, d), rk)]
+        inputs += [cos, sin, cos, sin]
+    if qk_norm is not None:
+        aff_spec = pl.BlockSpec((1, d), lambda *idx: (0, 0))
+        for a in qk_norm:   # (q_scale, q_bias, k_scale, k_bias), each [d]
+            inputs.append(a.astype(jnp.float32).reshape(1, d))
+            in_specs.append(aff_spec)
+
+    scratch = [
+        pltpu.VMEM((block_q, dpair), q.dtype),           # qc (LN+rope+scale)
+        pltpu.VMEM((nk * block_k, dpair), k.dtype),      # kc (whole-seq K)
+    ]
+    scratch += [pltpu.VMEM((block_q, LANES), jnp.float32)] * hpb   # m
+    scratch += [pltpu.VMEM((block_q, d + 1), jnp.float32)] * hpb   # acc|l
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        grid=(b, heads // hpb, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dpair), qi),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+# --------------------------------------------------------------------------
 # Pallas backward kernels (dkv and dq)
 # --------------------------------------------------------------------------
 
@@ -616,6 +787,7 @@ def flash_attention(
     layout: str = "bhsd",
     qk_norm: Optional[Tuple[jnp.ndarray, jnp.ndarray,
                             jnp.ndarray, jnp.ndarray]] = None,
+    heads: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention (self-attention, non-causal).
 
@@ -634,6 +806,50 @@ def flash_attention(
     rope — inference-path only (the fused call bypasses the custom_vjp;
     training applies the LN outside).
     """
+    if layout == "flat":
+        # [B, S, H*D] end to end: no [B,S,H,D] (lane-padded) or [B,H,S,D]
+        # (transposed) arrays ever hit HBM; LN/RoPE run in-kernel.
+        # Inference-only (no custom_vjp on this path).
+        assert heads is not None, "layout='flat' requires heads"
+        b, s, hd = q.shape
+        d = hd // heads
+        if scale is None:
+            scale = d ** -0.5
+        if kv_len is None:
+            kv_len = s
+        cos = sin = None
+        if rope is not None:
+            cos_v, sin_v = rope
+            tail = s - rope_start - cos_v.shape[0]
+            cos = jnp.concatenate(
+                [jnp.ones((rope_start, d), jnp.float32),
+                 cos_v.astype(jnp.float32),
+                 jnp.ones((tail, d), jnp.float32)])
+            sin = jnp.concatenate(
+                [jnp.zeros((rope_start, d), jnp.float32),
+                 sin_v.astype(jnp.float32),
+                 jnp.zeros((tail, d), jnp.float32)])
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if interpret is None and not on_tpu:
+            # XLA fallback (CPU test meshes): reshape to bhsd, reuse the
+            # fallback path below via a recursive call
+            qb = q.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+            kb = k.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+            vb = v.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+            out = flash_attention(qb, kb, vb, scale=scale, kv_len=kv_len,
+                                  rope=rope, rope_start=rope_start,
+                                  layout="bhsd", qk_norm=qk_norm)
+            return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        s128 = _round_up(s, 128)
+        bq = min(block_q, 1536 if cos is not None else block_q, s128)
+        bk = min(block_k, 1536 if cos is not None else block_k, s128)
+        if bq % bk:
+            bk = bq
+        rope_t = None if cos is None else (cos, sin)
+        return _fwd_flat_impl(q, k, v, heads, rope_t, float(scale),
+                              int(kv_len), int(bq), int(bk),
+                              bool(interpret), qk_norm=qk_norm)
+
     bshd = layout == "bshd"
     if bshd:
         b, s, h, d = q.shape

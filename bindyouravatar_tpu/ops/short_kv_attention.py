@@ -67,6 +67,40 @@ def _kernel(*refs, n_id: int, sm_scale: float, combine: bool):
         o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _kernel_qmajor(*refs, n_id: int, sm_scale: float, combine: bool):
+    """Same math as `_kernel`, but q (and the output) ride in the
+    projections' NATURAL q-major layout [R, H, D] — the head-major swap
+    happens on VMEM tiles inside the kernel instead of as an HBM transpose
+    fused into the to_q matmul epilogue (measured to drop that matmul to
+    ~24 TF/s in-model)."""
+    if combine:
+        q_ref, k_ref, v_ref, w_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+
+    q = jnp.swapaxes(q_ref[0], 0, 1)                 # [R, H, D] -> [H, R, D]
+    acc = None
+    for i in range(n_id):
+        k = k_ref[0, i]                              # [H, K, D]
+        v = v_ref[0, i]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale    # [H, R, K]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [H, R, D]
+        if combine:
+            w = w_ref[0, :, i].astype(jnp.float32).reshape(1, -1, 1)
+            acc = o * w if acc is None else acc + o * w
+        else:
+            o_ref[0, i] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+    if combine:
+        o_ref[0] = jnp.swapaxes(acc, 0, 1).astype(o_ref.dtype)
+
+
 def _spec_attend(q, k, v, sm_scale):
     """q [G,H,Sq,D] x k/v [G,I,H,K,D] -> per-id [G,I,H,Sq,D] (einsum spec)."""
     s = jnp.einsum("ghqd,gihkd->gihqk", q, k,
@@ -106,6 +140,128 @@ def _call_kernel(q, k, v, w, sm_scale):
 
     return pl.pallas_call(
         functools.partial(_kernel, n_id=n_id, sm_scale=sm_scale,
+                          combine=combine),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(*inputs)
+
+
+def _spec_attend_qmajor(q, k, v, sm_scale):
+    """q [G,Sq,H,D] x k/v [G,I,H,K,D] -> per-id [G,I,Sq,H,D]."""
+    s = jnp.einsum("gqhd,gihkd->gihqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("gihqk,gihkd->giqhd", p.astype(v.dtype), v)
+
+
+def _spec_combined_qmajor(q, k, v, w, sm_scale):
+    o = _spec_attend_qmajor(q, k, v, sm_scale)       # [G,I,Sq,H,D]
+    return jnp.einsum("giqhd,gqi->gqhd", o, w.astype(o.dtype))
+
+
+def _spec_combined_flat(q, k, v, w, sm_scale):
+    """q FLAT [G,Sq,H*D] x k/v [G,I,H,K,D], w [G,Sq,I] -> [G,Sq,H*D]."""
+    g, sq, hd = q.shape
+    h, d = k.shape[2], k.shape[4]
+    o = _spec_combined_qmajor(q.reshape(g, sq, h, d), k, v, w, sm_scale)
+    return o.reshape(g, sq, hd)
+
+
+def _kernel_flat(q_ref, k_ref, v_ref, w_ref, o_ref, *, n_id: int, hpb: int,
+                 dh: int, sm_scale: float):
+    """Head-pair grid over FLAT q [1, R, hpb*dh] — q rides the to_q
+    projection's natural (8,128)-tiled layout; no lane-padded [.., H, 64]
+    arrays exist anywhere (the 4D q-major variant above still pads 64->128
+    and fuses the relayout into the to_q epilogue — measured regression)."""
+    q = q_ref[0]                                     # [R, hpb*dh]
+    outs = []
+    for h in range(hpb):
+        qh = q[:, h * dh:(h + 1) * dh]               # [R, dh]
+        acc = None
+        for i in range(n_id):
+            k = k_ref[0, i, h]                       # [K, dh]
+            v = v_ref[0, i, h]
+            s = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale   # [R, K]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [R, dh]
+            w = w_ref[0, :, i].astype(jnp.float32).reshape(-1, 1)
+            acc = o * w if acc is None else acc + o * w
+        outs.append(acc)
+    out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _call_kernel_flat(q, k, v, w, sm_scale):
+    g, sq, hd = q.shape
+    n_id, h, kk, d = k.shape[1], k.shape[2], k.shape[3], k.shape[4]
+    hpb = max(1, 128 // d)
+    assert h % hpb == 0 and (hpb * d) % 128 == 0, (h, d)
+    rows = min(2048, (sq + 7) // 8 * 8)
+    grid = (g, h // hpb, pl.cdiv(sq, rows))
+
+    dpair = hpb * d
+    in_specs = [
+        pl.BlockSpec((1, rows, dpair), lambda gi, hp, qi: (gi, qi, hp)),
+        pl.BlockSpec((1, n_id, hpb, kk, d),
+                     lambda gi, hp, qi: (gi, 0, hp, 0, 0)),
+        pl.BlockSpec((1, n_id, hpb, kk, d),
+                     lambda gi, hp, qi: (gi, 0, hp, 0, 0)),
+        pl.BlockSpec((1, rows, n_id), lambda gi, hp, qi: (gi, qi, 0)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel_flat, n_id=n_id, hpb=hpb, dh=d,
+                          sm_scale=sm_scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, dpair),
+                               lambda gi, hp, qi: (gi, qi, hp)),
+        out_shape=jax.ShapeDtypeStruct((g, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(q, k, v, w)
+
+
+def _call_kernel_qmajor(q, k, v, w, sm_scale):
+    g, sq, h, d = q.shape
+    n_id, kk = k.shape[1], k.shape[3]
+    combine = w is not None
+    # smaller rows than the head-major kernel: the in-kernel [R,H,D] <->
+    # [H,R,D] swaps and the lane-padded [H,R,K] score tiles live in VMEM
+    # simultaneously (124.9M > limit measured at rows=512, audio shape)
+    rows = max(8, min(256, 2 * 2 ** 20 // (h * d)) // 8 * 8)
+    grid = (g, pl.cdiv(sq, rows))
+
+    in_specs = [
+        pl.BlockSpec((1, rows, h, d), lambda gi, qi: (gi, qi, 0, 0)),
+        pl.BlockSpec((1, n_id, h, kk, d), lambda gi, qi: (gi, 0, 0, 0, 0)),
+        pl.BlockSpec((1, n_id, h, kk, d), lambda gi, qi: (gi, 0, 0, 0, 0)),
+    ]
+    inputs = [q, k, v]
+    if combine:
+        in_specs.append(pl.BlockSpec((1, rows, n_id),
+                                     lambda gi, qi: (gi, qi, 0)))
+        inputs.append(w)
+        out_spec = pl.BlockSpec((1, rows, h, d), lambda gi, qi: (gi, qi, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((g, sq, h, d), q.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, n_id, rows, h, d),
+                                lambda gi, qi: (gi, 0, qi, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((g, n_id, sq, h, d), q.dtype)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_qmajor, n_id=n_id, sm_scale=sm_scale,
                           combine=combine),
         grid=grid,
         in_specs=in_specs,
@@ -164,3 +320,77 @@ def _bwd_c(sm_scale, res, g):
 
 
 short_kv_attention_combined.defvjp(_fwd_c, _bwd_c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def short_kv_attention_qmajor(q, k, v, sm_scale: float):
+    """Per-identity cross-attention, q-major IO: q [G,Sq,H,D] (the natural
+    reshape of a [G,Sq,H*D] projection), k/v [G,I,H,K,D] ->
+    [G,I,Sq,H,D].  No HBM head transposes on the query stream."""
+    if jax.devices()[0].platform != "tpu":
+        return _spec_attend_qmajor(q, k, v, sm_scale)
+    return _call_kernel_qmajor(q, k, v, None, sm_scale)
+
+
+def _fwd_aq(q, k, v, sm_scale):
+    return short_kv_attention_qmajor(q, k, v, sm_scale), (q, k, v)
+
+
+def _bwd_aq(sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _spec_attend_qmajor(q, k, v, sm_scale), q, k, v)
+    return vjp(g)
+
+
+short_kv_attention_qmajor.defvjp(_fwd_aq, _bwd_aq)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def short_kv_attention_combined_qmajor(q, k, v, w, sm_scale: float):
+    """Identity-combined cross-attention, q-major IO: q [G,Sq,H,D],
+    k/v [G,I,H,K,D], w [G,Sq,I] -> sum_i w_i * attn_i as [G,Sq,H,D] —
+    a free reshape away from the flat [G,Sq,H*D] the out-projection wants."""
+    if jax.devices()[0].platform != "tpu":
+        return _spec_combined_qmajor(q, k, v, w, sm_scale)
+    return _call_kernel_qmajor(q, k, v, w, sm_scale)
+
+
+def _fwd_cq(q, k, v, w, sm_scale):
+    return short_kv_attention_combined_qmajor(q, k, v, w, sm_scale), (q, k, v, w)
+
+
+def _bwd_cq(sm_scale, res, g):
+    q, k, v, w = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, w: _spec_combined_qmajor(q, k, v, w, sm_scale),
+        q, k, v, w)
+    return vjp(g)
+
+
+short_kv_attention_combined_qmajor.defvjp(_fwd_cq, _bwd_cq)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def short_kv_attention_combined_flat(q, k, v, w, sm_scale: float):
+    """Identity-combined cross-attention, FLAT q: q [G,Sq,H*D] (the to_q
+    projection's natural layout — no reshape, no lane padding),
+    k/v [G,I,H,K,D], w [G,Sq,I] -> [G,Sq,H*D]."""
+    if jax.devices()[0].platform != "tpu":
+        return _spec_combined_flat(q, k, v, w, sm_scale)
+    return _call_kernel_flat(q, k, v, w, sm_scale)
+
+
+def _fwd_cf(q, k, v, w, sm_scale):
+    return short_kv_attention_combined_flat(q, k, v, w, sm_scale), (q, k, v, w)
+
+
+def _bwd_cf(sm_scale, res, g):
+    q, k, v, w = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, w: _spec_combined_flat(q, k, v, w, sm_scale),
+        q, k, v, w)
+    return vjp(g)
+
+
+short_kv_attention_combined_flat.defvjp(_fwd_cf, _bwd_cf)

@@ -400,3 +400,93 @@ def test_flash_bshd_layout_matches_bhsd():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_flash_flat_layout_matches_bhsd():
+    """Flat [B,S,H*D] kernel (in-kernel LN+RoPE, scratch-cached) ==
+    LN outside + bhsd kernel, interpret mode, kv tail masked."""
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+    from bindyouravatar_tpu.ops.rope import get_3d_rotary_pos_embed
+
+    b, h, d = 1, 4, 64
+    text_len = 8
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s_real = text_len + cos.shape[0]              # 248
+    s = 256                                       # padded joint length
+    kv = s_real
+    ks_ = jax.random.split(jax.random.key(7), 7)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, s, h * d), jnp.float32)
+    qs = 1.0 + 0.1 * jax.random.normal(ks_[3], (d,))
+    qb = 0.1 * jax.random.normal(ks_[4], (d,))
+    ksc = 1.0 + 0.1 * jax.random.normal(ks_[5], (d,))
+    kb = 0.1 * jax.random.normal(ks_[6], (d,))
+
+    def ln(x, sc, bi):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-6) * sc + bi
+
+    split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    want = flash_attention(ln(split(q), qs, qb), ln(split(k), ksc, kb),
+                           split(v), kv_len=kv, rope=(cos, sin),
+                           rope_start=text_len, block_q=128, block_k=128,
+                           interpret=True)
+    want = want.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    got = flash_attention(q, k, v, kv_len=kv, rope=(cos, sin),
+                          rope_start=text_len, layout="flat", heads=h,
+                          qk_norm=(qs, qb, ksc, kb),
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[:, :kv]),
+                               np.asarray(want[:, :kv]), atol=2e-5)
+
+
+def test_flash_flat_no_norm_no_rope():
+    """Flat kernel bare path (no LN, no rope), non-dividing kv tail."""
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 2, 2, 64
+    s, kv = 320, 280
+    ks_ = jax.random.split(jax.random.key(8), 3)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, s, h * d), jnp.float32)
+    split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    want = flash_attention(split(q), split(k), split(v), kv_len=kv,
+                           block_q=128, block_k=128, interpret=True)
+    want = want.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    got = flash_attention(q, k, v, kv_len=kv, layout="flat", heads=h,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[:, :kv]),
+                               np.asarray(want[:, :kv]), atol=2e-5)
+
+
+def test_joint_attention_fused_flat_matches_unfused():
+    """JointSelfAttention(fuse_qk_norm=True) == default path (CPU fallback
+    exercises the same math; param trees must coincide)."""
+    import flax
+    from bindyouravatar_tpu.models.layers import JointSelfAttention
+    from bindyouravatar_tpu.ops.rope import get_3d_rotary_pos_embed
+
+    b, s_vid, text_len, h, d = 1, 1080, 16, 4, 64
+    rope = get_3d_rotary_pos_embed(d, ((0, 0), (12, 15)), (12, 15), 6)
+    assert rope[0].shape[0] == s_vid
+    key = jax.random.key(3)
+    hid = jax.random.normal(key, (b, s_vid, h * d), jnp.float32) * 0.3
+    enc = jax.random.normal(jax.random.key(4), (b, text_len, h * d),
+                            jnp.float32) * 0.3
+    base = JointSelfAttention(heads=h, head_dim=d, use_flash=True,
+                              dtype=jnp.float32)
+    fused = JointSelfAttention(heads=h, head_dim=d, use_flash=True,
+                               fuse_qk_norm=True, dtype=jnp.float32)
+    params = base.init(jax.random.key(5), hid, enc, rope)
+    p2 = fused.init(jax.random.key(5), hid, enc, rope)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    o1, e1 = base.apply(params, hid, enc, rope)
+    o2, e2 = fused.apply(params, hid, enc, rope)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               atol=2e-5, rtol=1e-4)
