@@ -111,14 +111,16 @@ class SelfAttention(nn.Module):
         dense = lambda name, d=self.dim: nn.Dense(
             d, use_bias=self.bias, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
-        # bshd layout end-to-end: the flash kernel reads the projections'
-        # natural [B, S, H, D] layout — no [B, H, S, D] HBM transposes
-        q = dense("to_q")(x).reshape(b, s, self.heads, dh)
-        k = dense("to_k")(x).reshape(b, s, self.heads, dh)
-        v = dense("to_v")(x).reshape(b, s, self.heads, dh)
+        # FLAT [B, S, H*D] end-to-end: the flash kernel lane-slices heads in
+        # VMEM, so no lane-padded [B, S, H, 64->128] or transposed
+        # [B, H, S, D] arrays ever hit HBM; differentiable (custom_vjp) so
+        # the trained router uses the same path
+        q = dense("to_q")(x)
+        k = dense("to_k")(x)
+        v = dense("to_v")(x)
         use_flash = dh % 64 == 0   # Mosaic lane width; tiny test dims -> SDPA
-        o = attention(q, k, v, use_flash=use_flash, layout="bshd")
-        o = o.reshape(b, s, self.dim)
+        o = attention(q, k, v, use_flash=use_flash, layout="flat",
+                      heads=self.heads)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(o)
 

@@ -773,6 +773,38 @@ def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, bshd, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_flat(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
+                interpret):
+    """Differentiable flat-layout flash (no rope / no fused LN): forward is
+    the flat kernel; backward recomputes via the chunked XLA path on bhsd
+    views (training-only transposes)."""
+    return _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
+                          block_q, block_k, interpret)
+
+
+def _flash_flat_fwd(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
+                    interpret):
+    o = _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
+                       block_q, block_k, interpret)
+    return o, (q, k, v, o)
+
+
+def _flash_flat_bwd(heads, sm_scale, kv_len, block_q, block_k, interpret,
+                    res, do):
+    q, k, v, o = res
+    b, s, hd = q.shape
+    d = hd // heads
+    split = lambda x: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    dq, dk, dv = _chunked_bwd(split(q), split(k), split(v), split(o),
+                              split(do), sm_scale, kv_len)
+    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, hd)
+    return merge(dq), merge(dk), merge(dv)
+
+
+_flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -845,6 +877,12 @@ def flash_attention(
         bk = min(block_k, 1536 if cos is not None else block_k, s128)
         if bq % bk:
             bk = bq
+        if cos is None and qk_norm is None:
+            # bare flat attention (router STAB spatial): differentiable —
+            # forward is the flat kernel, backward the chunked recompute on
+            # bhsd views (training-only transposes)
+            return _flash_flat(q, k, v, heads, float(scale), int(kv_len),
+                               int(bq), int(bk), bool(interpret))
         rope_t = None if cos is None else (cos, sin)
         return _fwd_flat_impl(q, k, v, heads, rope_t, float(scale),
                               int(kv_len), int(bq), int(bk),

@@ -462,6 +462,36 @@ def test_flash_flat_no_norm_no_rope():
                                np.asarray(want[:, :kv]), atol=2e-5)
 
 
+def test_flash_flat_grad_matches_sdpa():
+    """The bare flat path is differentiable (custom_vjp: flat kernel fwd,
+    chunked-recompute bwd on bhsd views) — value AND grads match SDPA."""
+    from bindyouravatar_tpu.ops.attention import sdpa
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 1, 2, 64
+    s = 256
+    ks_ = jax.random.split(jax.random.key(9), 3)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, s, h * d), jnp.float32)
+    split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    def ref_loss(q, k, v):
+        return (merge(sdpa(split(q), split(k), split(v))) ** 2).sum()
+
+    def flat_loss(q, k, v):
+        o = flash_attention(q, k, v, layout="flat", heads=h,
+                            block_q=128, block_k=128, interpret=True)
+        return (o ** 2).sum()
+
+    l1, g1 = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    l2, g2 = jax.value_and_grad(flat_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
 def test_joint_attention_fused_flat_matches_unfused():
     """JointSelfAttention(fuse_qk_norm=True) == default path (CPU fallback
     exercises the same math; param trees must coincide)."""
