@@ -72,7 +72,8 @@ def _layernorm_tile(x, scale_ref, bias_ref, eps=1e-6):
 
 def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
                 num_kv_blocks: int, need_mask: bool, save_residuals: bool,
-                has_rope: bool, bshd: bool, has_qk_norm: bool = False):
+                has_rope: bool, bshd: bool, has_qk_norm: bool = False,
+                lse_compact: bool = False, q_len: int = 0):
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
@@ -89,6 +90,10 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         o_ref, m_ref, acc_ref = rest
 
     ik = pl.program_id(3)
+    if save_residuals and lse_compact:
+        nq_rows = m_ref.shape[0]
+        q_rows = pl.program_id(2) * nq_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (nq_rows, 1), 0)
 
     @pl.when(ik == 0)
     def _init():
@@ -179,7 +184,23 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             # backward recompute yields p = exp(s - BIG) = 0
             m_fin = m_ref[:, :1]
             lse = jnp.where(l_fin == 0.0, -NEG_INF, m_fin + jnp.log(l_fin))
-            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+            if lse_compact:
+                # [1, bq] row into the compact [B, H, 1, S] residual (the
+                # lane-broadcast [B,H,S,128] layout costs 453 MB at the
+                # joint shape); sublane->lane rotation via identity matmul.
+                # Mask tail rows first: boundary-loaded q rows
+                # (non-dividing grid) hold undefined values which would
+                # contaminate EVERY lane through the matmul (NaN*0 = NaN).
+                n = lse.shape[0]
+                lse_s = jnp.where(q_rows < q_len, lse, -NEG_INF)
+                eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) ==
+                       jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                       ).astype(jnp.float32)
+                lse_ref[0, 0] = jax.lax.dot_general(
+                    lse_s, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -236,7 +257,7 @@ def _pad_seq(arrs, s_pad, bshd):
 def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
               block_q: int, block_k: int, interpret: bool,
               save_residuals: bool = False, bshd: bool = False,
-              qk_norm=None):
+              qk_norm=None, lse_compact: bool = False):
     if bshd:
         b, s, h, d = q.shape
     else:
@@ -254,7 +275,7 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
         save_residuals=save_residuals, has_rope=has_rope, bshd=bshd,
-        has_qk_norm=qk_norm is not None)
+        has_qk_norm=qk_norm is not None, lse_compact=lse_compact, q_len=s)
 
     qo_spec, kv_spec, lse_spec, rq_spec, rk_spec = _specs(
         block_q, block_k, d, bshd)
@@ -274,8 +295,14 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
     out_shapes = [jax.ShapeDtypeStruct(oshape, q.dtype)]
     out_specs = [qo_spec]
     if save_residuals:   # lse output costs VMEM — only when training needs it
-        out_shapes.append(jax.ShapeDtypeStruct((b, h, s, LANES), jnp.float32))
-        out_specs.append(lse_spec)
+        if lse_compact:
+            out_shapes.append(jax.ShapeDtypeStruct((b, h, 1, s), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, 1, block_q), lambda b_, h_, iq, ik: (b_, h_, 0, iq)))
+        else:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, h, s, LANES), jnp.float32))
+            out_specs.append(lse_spec)
 
     res = pl.pallas_call(
         kernel,
@@ -317,7 +344,8 @@ def _fwd_impl(q, k, v, rope, sm_scale: float, kv_len: int,
 
 def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
                      num_kv_blocks: int, need_mask: bool, has_rope: bool,
-                     has_qk_norm: bool, dh: int, hpb: int):
+                     has_qk_norm: bool, dh: int, hpb: int,
+                     save_residuals: bool = False, q_len: int = 0):
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
@@ -327,12 +355,22 @@ def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
     if has_qk_norm:
         qs_ref, qb_ref, ks_ref, kb_ref = refs[:4]
         refs = refs[4:]
-    o_ref, qc_ref, kc_ref = refs[:3]
-    m_refs = refs[3:3 + hpb]
-    acc_refs = refs[3 + hpb:3 + 2 * hpb]
+    o_ref = refs[0]
+    refs = refs[1:]
+    lse_ref = None
+    if save_residuals:
+        lse_ref = refs[0]
+        refs = refs[1:]
+    qc_ref, kc_ref = refs[:2]
+    m_refs = refs[2:2 + hpb]
+    acc_refs = refs[2 + hpb:2 + 2 * hpb]
 
     iq = pl.program_id(2)
     ik = pl.program_id(3)
+    if save_residuals:
+        nq_rows = m_refs[0].shape[0]
+        q_rows = iq * nq_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (nq_rows, 1), 0)
 
     def prep(x, is_q):
         if has_qk_norm:
@@ -404,12 +442,35 @@ def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             outs.append(acc_ref[:, :dh] * inv)
         out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
         o_ref[0] = out.astype(o_ref.dtype)
+        if save_residuals:
+            # per-head LSE row [1, bq]: the stats live as [bq, 1] columns
+            # (q rows on sublanes); rotate sublanes -> lanes via an
+            # identity matmul (MXU transpose, ~1M MACs — no Mosaic 2D
+            # vector transpose needed).  Compact [hpb, bq] tile per store.
+            n = m_refs[0].shape[0]
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) ==
+                   jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                   ).astype(jnp.float32)
+            rows = []
+            for m_ref, acc_ref in zip(m_refs, acc_refs):
+                l_fin = acc_ref[:, dh:dh + 1]
+                lse_col = jnp.where(l_fin == 0.0, -NEG_INF,
+                                    m_ref[:, :1] + jnp.log(l_fin))
+                # mask boundary-loaded tail rows (undefined values would
+                # contaminate every lane through the matmul: NaN*0 = NaN)
+                lse_col = jnp.where(q_rows < q_len, lse_col, -NEG_INF)
+                rows.append(jax.lax.dot_general(
+                    lse_col, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            lse_ref[0, 0] = (jnp.concatenate(rows, axis=0)
+                             if hpb > 1 else rows[0])
 
 
 def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
                    block_q: int, block_k: int, interpret: bool,
-                   qk_norm=None):
-    """q/k/v: [B, S, H*D] flat.  Returns [B, S, H*D]."""
+                   qk_norm=None, save_residuals: bool = False):
+    """q/k/v: [B, S, H*D] flat.  Returns [B, S, H*D] (and, with
+    `save_residuals`, the LSE as compact [B, H//hpb, hpb, S] fp32)."""
     b, s, hd = q.shape
     d = hd // heads
     hpb = max(1, LANES // d)                     # heads per 128-lane block
@@ -421,7 +482,8 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
     kernel = functools.partial(
         _fwd_flat_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
-        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
+        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb,
+        save_residuals=save_residuals, q_len=s)
 
     dpair = hpb * d
     qi = lambda b_, hp, iq, ik: (b_, iq, hp)
@@ -454,12 +516,20 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
     scratch += [pltpu.VMEM((block_q, LANES), jnp.float32)] * hpb   # m
     scratch += [pltpu.VMEM((block_q, d + 1), jnp.float32)] * hpb   # acc|l
 
-    return pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((b, s, hd), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, dpair), qi)]
+    if save_residuals:
+        out_shapes.append(jax.ShapeDtypeStruct((b, heads // hpb, hpb, s),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, hpb, block_q), lambda b_, hp, iq, ik: (b_, hp, 0, iq)))
+
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        out_shape=out_shapes,
         grid=(b, heads // hpb, nq, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dpair), qi),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel",
@@ -468,6 +538,9 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
         ),
         interpret=interpret,
     )(*inputs)
+    if save_residuals:
+        return res[0], res[1]
+    return res[0]
 
 
 # --------------------------------------------------------------------------
@@ -584,6 +657,242 @@ def _dq_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
         else:
             dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# combined flat-layout backward: ONE kernel for dq/dk/dv
+# --------------------------------------------------------------------------
+#
+# The two-kernel backward recomputes the score tile twice (7 matmuls per
+# tile pair vs the minimal 5) and re-streams q/do/o from HBM nk times (dkv
+# kernel) and k/v nq times (dq kernel).  This kernel keeps the WHOLE
+# sequence resident in VMEM per (batch, head-pair) — flat [S_pad, 128]
+# blocks have zero layout padding, so q+k+v+do for the 18,432-token joint
+# shape cost 4 x 4.7 MB — and computes the score tile once, in TRANSPOSED
+# layout st = k @ q^T so the per-q-row lse/delta stats broadcast along
+# LANES ([1, bq] rows, no lane-padded column stats).  delta = rowsum(o*do)
+# is precomputed in XLA, so o never enters the kernel.  dq accumulates in a
+# full-sequence fp32 scratch across the outer ik sweep; dk/dv accumulate in
+# [block_k, 128] scratch completed within each inner iq sweep.  Outputs
+# store q.dtype directly: bf16 flat grads are 113 MB vs the 453 MB
+# lane-padded fp32 [B,H,S,64->128] buffers the HBM dump blamed for the
+# 18-layer single-chip training OOM (ROADMAP r3).
+
+def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
+                     block_k: int, num_q_blocks: int, num_kv_blocks: int,
+                     need_mask: bool, has_rope: bool, dh: int, hpb: int,
+                     bhsd: bool = False):
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref = refs[:6]
+    refs = refs[6:]
+    if has_rope:
+        cos_ref, sin_ref = refs[:2]
+        refs = refs[2:]
+    dq_ref, dk_ref, dv_ref = refs[:3]
+    scratch = refs[3:]
+    if has_rope:
+        qr, kr = scratch[:2]
+        scratch = scratch[2:]
+    dq_acc, dk_acc, dv_acc = scratch
+
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    def rd(ref, sl):
+        """[rows, hpb*dh] tile from a whole-sequence block."""
+        return ref[0, 0, sl, :] if bhsd else ref[0, sl, :]
+
+    def halves(x, fn):
+        hs = [fn(x[:, h * dh:(h + 1) * dh], h) for h in range(hpb)]
+        return jnp.concatenate(hs, axis=1) if hpb > 1 else hs[0]
+
+    if has_rope:
+        @pl.when((ik == 0) & (iq == 0))
+        def _rot_cache():
+            # rotate q/k ONCE per (b, head-pair) into scratch — the
+            # two-kernel path re-rotates every (ik, iq) tile pair
+            full = slice(None)
+            qr[...] = halves(rd(q_ref, full), lambda x, _: _rope_tile(
+                x, cos_ref[...], sin_ref[...]))
+            kr[...] = halves(rd(k_ref, full), lambda x, _: _rope_tile(
+                x, cos_ref[...], sin_ref[...]))
+
+    slq = pl.ds(iq * block_q, block_q)
+    slk = pl.ds(ik * block_k, block_k)
+    qt = qr[slq, :] if has_rope else rd(q_ref, slq)      # [bq, hpb*dh]
+    kt = kr[slk, :] if has_rope else rd(k_ref, slk)      # [bk, hpb*dh]
+    vt = rd(v_ref, slk)
+    dot_ = rd(do_ref, slq)
+
+    dq_cs, dk_cs, dv_cs = [], [], []
+    for h in range(hpb):
+        sl = slice(h * dh, (h + 1) * dh)
+        st = jax.lax.dot_general(kt[:, sl], qt[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * sm_scale
+        if need_mask:
+            rows = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 0)
+            st = jnp.where(rows < kv_len, st, NEG_INF)
+        pt = jnp.exp(st - lse_ref[0, 0, h:h + 1, slq])   # [bk, bq] = p^T
+        dpt = jax.lax.dot_general(vt[:, sl], dot_[:, sl],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = (pt * (dpt - dl_ref[0, 0, h:h + 1, slq])
+               * sm_scale).astype(qt.dtype)
+        ptc = pt.astype(dot_.dtype)
+        dv_cs.append(jax.lax.dot_general(ptc, dot_[:, sl],
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+        dk_cs.append(jax.lax.dot_general(dst, qt[:, sl],
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+        dq_cs.append(jax.lax.dot_general(dst, kt[:, sl],
+                                         (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+    cat = lambda xs: jnp.concatenate(xs, axis=1) if hpb > 1 else xs[0]
+    dq_c, dk_c, dv_c = cat(dq_cs), cat(dk_cs), cat(dv_cs)
+
+    @pl.when(ik == 0)
+    def _dq_init():
+        dq_acc[slq, :] = dq_c
+
+    @pl.when(ik > 0)
+    def _dq_accum():
+        dq_acc[slq, :] += dq_c
+
+    @pl.when(iq == 0)
+    def _dkv_init():
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
+
+    @pl.when(iq > 0)
+    def _dkv_accum():
+        dk_acc[...] += dk_c
+        dv_acc[...] += dv_c
+
+    @pl.when(ik == num_kv_blocks - 1)      # last visit of this q slice
+    def _store_dq():
+        g = dq_acc[slq, :]
+        if has_rope:                        # adjoint rotation R^T
+            g = halves(g, lambda x, _: _rope_tile(
+                x, cos_ref[slq, :], -sin_ref[slq, :]))
+        if bhsd:
+            dq_ref[0, 0, slq, :] = g.astype(dq_ref.dtype)
+        else:
+            dq_ref[0, slq, :] = g.astype(dq_ref.dtype)
+
+    @pl.when(iq == num_q_blocks - 1)       # kv slice complete
+    def _store_dkv():
+        g = dk_acc[...]
+        if has_rope:
+            g = halves(g, lambda x, _: _rope_tile(
+                x, cos_ref[slk, :], -sin_ref[slk, :]))
+        if bhsd:
+            dk_ref[0, 0] = g.astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        else:
+            dk_ref[0] = g.astype(dk_ref.dtype)
+            dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
+                   sm_scale: float, kv_len: int, block_q: int, block_k: int,
+                   interpret: bool, bhsd: bool = False):
+    """Combined-kernel backward on flat [B, S, H*D] tensors — or, with
+    `bhsd`, on [B, H, S, D] tensors (one head per grid cell, hpb = 1; the
+    production training layout, since Mosaic can't block the head dim of
+    [B,S,H,D]).
+
+    lse_c / delta_c: [B, H//hpb, hpb, S_pad] fp32, compact minor-S layout
+    (the fwd's [B,H,S,128] lane-broadcast lse residual costs 453 MB at the
+    joint shape; this is 3.5 MB).  Returns (dq, dk, dv) in q.dtype.
+    """
+    if bhsd:
+        b, heads, s, d = q.shape
+        hpb = 1
+        dpair = d
+    else:
+        b, s, hd = q.shape
+        d = hd // heads
+        hpb = max(1, LANES // d)
+        assert heads % hpb == 0 and (hpb * d) % LANES == 0, (heads, d)
+        dpair = hpb * d
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        ax = 2 if bhsd else 1
+        pad = [(0, 0)] * q.ndim
+        pad[ax] = (0, s_pad - s)
+        q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
+    assert lse_c.shape == (b, heads // hpb, hpb, s_pad), lse_c.shape
+    nq = s_pad // block_q
+    nk = s_pad // block_k
+    need_mask = kv_len < s_pad
+    has_rope = rope is not None
+
+    if bhsd:
+        full_spec = pl.BlockSpec((1, 1, s_pad, d),
+                                 lambda b_, hp, ik, iq: (b_, hp, 0, 0))
+        kv_spec = pl.BlockSpec((1, 1, block_k, d),
+                               lambda b_, hp, ik, iq: (b_, hp, ik, 0))
+        out_shape = (b, heads, s_pad, d)
+    else:
+        full_spec = pl.BlockSpec((1, s_pad, dpair),
+                                 lambda b_, hp, ik, iq: (b_, 0, hp))
+        kv_spec = pl.BlockSpec((1, block_k, dpair),
+                               lambda b_, hp, ik, iq: (b_, ik, hp))
+        out_shape = (b, s_pad, heads * d)
+    row_spec = pl.BlockSpec((1, 1, hpb, s_pad),
+                            lambda b_, hp, ik, iq: (b_, hp, 0, 0))
+
+    in_specs = [full_spec] * 4 + [row_spec, row_spec]
+    inputs = [q, k, v, do, lse_c, delta_c]
+    scratch = []
+    if has_rope:
+        cos, sin = _pad_rope(rope, s_pad)
+        rspec = pl.BlockSpec((s_pad, d), lambda *_: (0, 0))
+        in_specs += [rspec, rspec]
+        inputs += [cos, sin]
+        scratch += [pltpu.VMEM((s_pad, dpair), q.dtype)] * 2   # qr, kr
+    scratch += [pltpu.VMEM((s_pad, dpair), jnp.float32),       # dq acc
+                pltpu.VMEM((block_k, dpair), jnp.float32),     # dk acc
+                pltpu.VMEM((block_k, dpair), jnp.float32)]     # dv acc
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_flat_kernel, sm_scale=sm_scale, kv_len=kv_len,
+                          block_q=block_q, block_k=block_k,
+                          num_q_blocks=nq, num_kv_blocks=nk,
+                          need_mask=need_mask, has_rope=has_rope,
+                          dh=d, hpb=hpb, bhsd=bhsd),
+        out_shape=[jax.ShapeDtypeStruct(out_shape, q.dtype)] * 3,
+        grid=(b, heads // hpb, nk, nq),
+        in_specs=in_specs,
+        out_specs=[full_spec, kv_spec, kv_spec],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if s_pad != s:
+        if bhsd:
+            dq, dk, dv = dq[:, :, :s], dk[:, :, :s], dv[:, :, :s]
+        else:
+            dq, dk, dv = dq[:, :s], dk[:, :s], dv[:, :s]
+    return dq, dk, dv
+
+
+def _repack_rows(x, heads: int, hpb: int, s_pad: int, fill: float):
+    """[B, H, S'] fp32 -> [B, H//hpb, hpb, S_pad] (pad tail rows with
+    `fill`), the compact row-stat layout the combined kernel wants."""
+    b, h, sl = x.shape
+    if sl < s_pad:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, s_pad - sl)],
+                    constant_values=fill)
+    else:
+        x = x[:, :, :s_pad]
+    return x.reshape(b, h // hpb, hpb, s_pad)
 
 
 def _bwd_impl(q, k, v, o, lse, do, rope, sm_scale: float, kv_len: int,
@@ -740,6 +1049,20 @@ def _flash(q, k, v, cos, sin, sm_scale, kv_len, block_q, block_k, interpret,
                      interpret, bshd=bshd)
 
 
+# route the backward through the combined single-pass kernel (A/B flag —
+# the two-kernel path stays for comparison sweeps and odd head dims)
+COMBINED_BWD = True
+
+
+def _combined_ok(d: int, h: int, bshd: bool) -> bool:
+    if not COMBINED_BWD or d % 8:
+        return False
+    if bshd:   # flattened [B,S,H*D] route: heads must pack into 128 lanes
+        hpb = max(1, LANES // d)
+        return (hpb * d) % LANES == 0 and h % hpb == 0
+    return True
+
+
 def _flash_fwd(q, k, v, cos, sin, sm_scale, kv_len, block_q, block_k,
                interpret, bshd=False):
     # smaller blocks when saving residuals: the lse output block + scores
@@ -747,8 +1070,11 @@ def _flash_fwd(q, k, v, cos, sin, sm_scale, kv_len, block_q, block_k,
     bq = min(block_q, 1024)
     bk = min(block_k, 1024)
     rope = None if cos is None else (cos, sin)
+    d = q.shape[-1]
+    h = q.shape[2] if bshd else q.shape[1]
     o, lse = _fwd_impl(q, k, v, rope, sm_scale, kv_len, bq, bk, interpret,
-                       save_residuals=True, bshd=bshd)
+                       save_residuals=True, bshd=bshd,
+                       lse_compact=_combined_ok(d, h, bshd))
     return o, (q, k, v, o, lse, cos, sin)
 
 
@@ -757,14 +1083,43 @@ def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, bshd, res, do):
     rope = None if cos is None else (cos, sin)
     bq = min(BWD_BLOCK_Q, block_q)
     bk = min(BWD_BLOCK_K, block_k)
-    # forward padded lse to the bwd padding granularity
     s = q.shape[1] if bshd else q.shape[2]
     s_pad = _round_up(s, max(bq, bk))
-    if lse.shape[2] < s_pad:   # fwd used larger blocks -> lse longer; else pad
-        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, s_pad - lse.shape[2]), (0, 0)],
-                      constant_values=-NEG_INF)
-    dq, dk, dv = _bwd_impl(q, k, v, o, lse[:, :, :s_pad], do, rope, sm_scale,
-                           kv_len, bq, bk, interpret, bshd=bshd)
+    d = q.shape[-1]
+    h = q.shape[2] if bshd else q.shape[1]
+    if _combined_ok(d, h, bshd):
+        # lse arrives COMPACT ([B, H, 1, S] — _flash_fwd saved it that way
+        # under the same predicate); delta precomputed in XLA, combined
+        # single-pass kernel, bf16 grads
+        b = q.shape[0]
+        hpb = max(1, LANES // d) if bshd else 1
+        lse_c = _repack_rows(lse[:, :, 0, :], h, hpb, s_pad, -NEG_INF)
+        if bshd:
+            # flatten [B,S,H,D] -> [B,S,H*D] (drops the 64->128 lane pad)
+            flat = lambda x: x.reshape(b, s, h * d)
+            delta = jnp.einsum("bshd,bshd->bhs", o.astype(jnp.float32),
+                               do.astype(jnp.float32))
+            delta_c = _repack_rows(delta, h, hpb, s_pad, 0.0)
+            dq, dk, dv = _bwd_flat_impl(
+                flat(q), flat(k), flat(v), flat(do), lse_c, delta_c, h, rope,
+                sm_scale, kv_len, bq, bk, interpret)
+            unflat = lambda g: g.reshape(b, s, h, d)
+            dq, dk, dv = unflat(dq), unflat(dk), unflat(dv)
+        else:
+            delta = jnp.einsum("bhsd,bhsd->bhs", o.astype(jnp.float32),
+                               do.astype(jnp.float32))
+            delta_c = _repack_rows(delta, h, 1, s_pad, 0.0)
+            dq, dk, dv = _bwd_flat_impl(
+                q, k, v, do, lse_c, delta_c, h, rope,
+                sm_scale, kv_len, bq, bk, interpret, bhsd=True)
+    else:
+        # forward padded lse to the bwd padding granularity
+        if lse.shape[2] < s_pad:   # fwd used larger blocks -> lse longer
+            lse = jnp.pad(lse,
+                          [(0, 0), (0, 0), (0, s_pad - lse.shape[2]), (0, 0)],
+                          constant_values=-NEG_INF)
+        dq, dk, dv = _bwd_impl(q, k, v, o, lse[:, :, :s_pad], do, rope,
+                               sm_scale, kv_len, bq, bk, interpret, bshd=bshd)
     dcos = None if cos is None else jnp.zeros_like(cos)
     dsin = None if sin is None else jnp.zeros_like(sin)
     return dq, dk, dv, dcos, dsin
@@ -777,29 +1132,39 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def _flash_flat(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
                 interpret):
     """Differentiable flat-layout flash (no rope / no fused LN): forward is
-    the flat kernel; backward recomputes via the chunked XLA path on bhsd
-    views (training-only transposes)."""
+    the flat kernel (saving the compact LSE residual); backward is the
+    combined flat dq/dk/dv kernel."""
     return _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
                           block_q, block_k, interpret)
 
 
 def _flash_flat_fwd(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
                     interpret):
-    o = _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
-                       block_q, block_k, interpret)
-    return o, (q, k, v, o)
+    bq = min(block_q, 1024)    # lse output + eye transpose cost VMEM
+    bk = min(block_k, 1024)
+    o, lse = _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
+                            bq, bk, interpret, save_residuals=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_flat_bwd(heads, sm_scale, kv_len, block_q, block_k, interpret,
                     res, do):
-    q, k, v, o = res
+    q, k, v, o, lse = res
     b, s, hd = q.shape
     d = hd // heads
-    split = lambda x: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
-    dq, dk, dv = _chunked_bwd(split(q), split(k), split(v), split(o),
-                              split(do), sm_scale, kv_len)
-    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, hd)
-    return merge(dq), merge(dk), merge(dv)
+    bq = min(block_q, BWD_BLOCK_Q)
+    bk = min(block_k, BWD_BLOCK_K)
+    s_pad = _round_up(s, max(bq, bk))
+    # delta = rowsum(o * do) per head, computed in XLA (o stays out of the
+    # backward kernel); [B, S, heads] -> compact [B, H//hpb, hpb, S_pad]
+    delta = (o.astype(jnp.float32) * do.astype(jnp.float32)
+             ).reshape(b, s, heads, d).sum(-1).transpose(0, 2, 1)
+    hpb = max(1, LANES // d)
+    delta_c = _repack_rows(delta, heads, hpb, s_pad, 0.0)
+    lse_c = jnp.pad(lse, [(0, 0), (0, 0), (0, 0), (0, s_pad - s)],
+                    constant_values=-NEG_INF)   # fwd emits the compact layout
+    return _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads, None,
+                          sm_scale, kv_len, bq, bk, interpret)
 
 
 _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)

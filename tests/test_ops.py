@@ -402,6 +402,41 @@ def test_flash_bshd_layout_matches_bhsd():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
 
 
+def test_flash_bshd_rope_grad_matches_xla():
+    """bshd grads with fused rope route through the COMBINED flat backward
+    kernel (rotate-once cache + adjoint back-rotation) — vs XLA autodiff
+    through rope + sdpa."""
+    from bindyouravatar_tpu.ops.flash_attention import _flash
+    from bindyouravatar_tpu.ops.rope import (apply_rotary_emb,
+                                             get_3d_rotary_pos_embed)
+
+    text_len, d, h = 8, 64, 2
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s = text_len + cos.shape[0]                  # 248
+    q = jax.random.normal(jax.random.key(3), (1, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(4), (1, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(5), (1, s, h, d), jnp.float32)
+    cos_j = jnp.concatenate([jnp.ones((text_len, d)), cos])
+    sin_j = jnp.concatenate([jnp.zeros((text_len, d)), sin])
+
+    def loss_flash(q, k, v):
+        out = _flash(q, k, v, cos_j, sin_j, d ** -0.5, s, 128, 128, True,
+                     True)   # bshd=True -> combined flat bwd
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        rot = lambda x: jnp.concatenate(
+            [x[:, :, :text_len],
+             apply_rotary_emb(x[:, :, text_len:], cos, sin)], axis=2)
+        return jnp.sum(sdpa(rot(t(q)), rot(t(k)), t(v)) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
 def test_flash_flat_layout_matches_bhsd():
     """Flat [B,S,H*D] kernel (in-kernel LN+RoPE, scratch-cached) ==
     LN outside + bhsd kernel, interpret mode, kv tail masked."""
