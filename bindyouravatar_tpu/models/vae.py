@@ -334,9 +334,22 @@ class CausalVAE:
                 params["decoder"], z)
             return x.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
 
+        outs = [c for _, c in
+                self.decode_stream(params, latents, temporal_chunk)]
+        return jnp.concatenate(outs, axis=1)
+
+    def decode_stream(self, params, latents: jnp.ndarray,
+                      temporal_chunk: Optional[int] = None):
+        """Generator form of chunked `decode`: yields
+        `(start_pixel_frame, chunk [B,t,3,H,W])` as each temporal chunk
+        finishes, so serving can mux/ship early frames while the tail is
+        still decoding.  Concatenating the yielded chunks along axis 1
+        equals `decode(...)` exactly (same chunking, same jit cache)."""
+        if temporal_chunk is None or latents.shape[1] <= temporal_chunk:
+            yield 0, self.decode(params, latents)
+            return
         t_lat = latents.shape[1]
         r = self.cfg.temporal_compression_ratio
-        outs = []
         # first chunk takes temporal_chunk+1 frames WITHOUT context so every
         # chunk (except a ragged tail) decodes at the same [*, k+1, ...]
         # shape — one compile serves the whole clip (per-shape jit cache)
@@ -344,15 +357,15 @@ class CausalVAE:
         first = min(k + 1, t_lat)
         # trim to the owned pixel count: an even-sized first chunk decodes to
         # 4t frames (diffusers even-t upsample), not 4(t-1)+1
-        outs.append(self.decode(params, latents[:, :first])
-                    [:, : r * (first - 1) + 1])
+        yield 0, self.decode(params, latents[:, :first])[:, : r * (first - 1) + 1]
+        pos = r * (first - 1) + 1
         i = first
         while i < t_lat:
             n = min(k, t_lat - i)
             chunk = self.decode(params, latents[:, i - 1:i + n])
-            outs.append(chunk[:, 1:1 + r * n])       # drop context pixels
+            yield pos, chunk[:, 1:1 + r * n]         # drop context pixels
+            pos += r * n
             i += n
-        return jnp.concatenate(outs, axis=1)
 
     @classmethod
     def tiny(cls) -> "CausalVAE":

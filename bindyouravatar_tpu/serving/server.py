@@ -54,6 +54,12 @@ class GenerationRequest:
     seed: int = 0
     decode: bool = True
     request_id: str = ""
+    # streaming decode: when set, the VAE decodes in chunks of this many
+    # LATENT frames and `on_chunk(start_pixel_frame, np_chunk)` fires as
+    # each chunk lands — the client can mux/ship early frames while the
+    # tail still decodes.  Streaming requests never co-batch.
+    stream_chunk_frames: Optional[int] = None
+    on_chunk: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -197,6 +203,8 @@ class InferenceServer:
         sa, sb = a[2], b[2]
         if a[0].decode != b[0].decode:
             return False
+        if a[0].stream_chunk_frames or b[0].stream_chunk_frames:
+            return False      # streaming requests run alone
         if set(sa["cond"]) != set(sb["cond"]):
             return False
         for k in ("prompt_embeds", "negative_prompt_embeds", "image"):
@@ -260,12 +268,28 @@ class InferenceServer:
             try:
                 if len(items) == 1:
                     req, fut, staged, prep_s = items[0]
-                    out = self.pipeline.generate(
-                        self.params, staged["prompt_embeds"],
-                        staged["negative_prompt_embeds"], staged["image"],
-                        jax.random.key(req.seed), decode=req.decode,
-                        **staged["cond"])
-                    videos = [np.asarray(out)]
+                    if req.stream_chunk_frames:
+                        lat = self.pipeline.generate(
+                            self.params, staged["prompt_embeds"],
+                            staged["negative_prompt_embeds"], staged["image"],
+                            jax.random.key(req.seed), decode=False,
+                            **staged["cond"])
+                        chunks = []
+                        for start, chunk in self.pipeline.vae.decode_stream(
+                                self.params["vae"], lat,
+                                req.stream_chunk_frames):
+                            np_chunk = np.asarray(chunk)
+                            if req.on_chunk is not None:
+                                req.on_chunk(int(start), np_chunk)
+                            chunks.append(np_chunk)
+                        videos = [np.concatenate(chunks, axis=1)]
+                    else:
+                        out = self.pipeline.generate(
+                            self.params, staged["prompt_embeds"],
+                            staged["negative_prompt_embeds"], staged["image"],
+                            jax.random.key(req.seed), decode=req.decode,
+                            **staged["cond"])
+                        videos = [np.asarray(out)]
                 else:
                     stacked = self._run_batch(items)
                     videos = [stacked[i:i + 1] for i in range(len(items))]
@@ -334,6 +358,55 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _stream(self, spec, req: GenerationRequest):
+            """NDJSON streaming response: one line per decoded chunk (each
+            chunk saved as `<output>.chunkNNN.npy` the moment it lands),
+            then a final `{"done": true}` line.  The response has no
+            Content-Length — HTTP/1.0 close-delimited, so clients read
+            lines as they arrive."""
+            import queue as _q
+
+            out_base = spec.get("output", "/tmp/bya_out.npy"
+                                if root is None else "bya_out.npy")
+            chunk_q: "_q.Queue" = _q.Queue()
+            req.stream_chunk_frames = int(spec["stream_chunk_frames"])
+            req.on_chunk = lambda start, arr: chunk_q.put((start, arr))
+            fut = server.submit(req)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def _line(payload):
+                self.wfile.write((json.dumps(payload) + "\n").encode())
+                self.wfile.flush()
+
+            idx = 0
+            deadline = time.monotonic() + float(spec.get("timeout_s", 3600))
+            while True:
+                try:
+                    start, arr = chunk_q.get(timeout=0.2)
+                except _q.Empty:
+                    if fut.done() and chunk_q.empty():
+                        break
+                    if time.monotonic() > deadline:
+                        fut.cancel()
+                        _line({"error": "timeout"})
+                        return
+                    continue
+                path = _check_path(f"{out_base}.chunk{idx:03d}.npy")
+                np.save(path, arr)
+                _line({"chunk": idx, "start_frame": int(start),
+                       "frames": int(arr.shape[1]), "path": path})
+                idx += 1
+            try:
+                result = fut.result(timeout=0)
+            except Exception as e:   # noqa: BLE001 — JSON error surface
+                _line({"error": f"{type(e).__name__}: {e}"})
+                return
+            _line({"done": True, "request_id": result.request_id,
+                   "chunks": idx, "timings": result.timings})
+
         def do_POST(self):
             if self.path != "/generate":
                 self._reply(404, {"error": "not found"})
@@ -347,6 +420,9 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                     seed=int(spec.get("seed", 0)),
                     request_id=str(spec.get("request_id", "")),
                     decode=bool(spec.get("decode", True)), **kw)
+                if spec.get("stream_chunk_frames"):
+                    self._stream(spec, req)
+                    return
                 result = server.submit(req).result(
                     timeout=float(spec.get("timeout_s", 3600)))
                 out_path = _check_path(spec.get("output", "/tmp/bya_out.npy")

@@ -200,3 +200,70 @@ def test_server_with_tp_sharded_params():
         assert np.isfinite(r.video).all()
     finally:
         server.close()
+
+
+def test_streaming_decode(served):
+    """Streaming requests: `on_chunk` fires per decoded chunk, chunks tile
+    the clip exactly, and the final video equals an offline chunked decode
+    of the same latents (streaming never co-batches — see `_batchable`)."""
+    import dataclasses
+
+    server, pipe = served
+    c = pipe.dit.cfg
+    lat = server.submit(dataclasses.replace(
+        _request(pipe, seed=21, rid="lat"), decode=False)).result(timeout=600)
+
+    chunks = []
+    req = _request(pipe, seed=21, rid="s0")
+    req.stream_chunk_frames = 1
+    req.on_chunk = lambda start, arr: chunks.append((start, arr))
+    res = server.submit(req).result(timeout=600)
+
+    assert len(chunks) >= 2
+    pos = 0
+    for start, arr in chunks:
+        assert start == pos
+        pos += arr.shape[1]
+    video = np.concatenate([a for _, a in chunks], axis=1)
+    assert video.shape == (1, c.sample_frames, 3, c.sample_height * 8,
+                           c.sample_width * 8)
+    np.testing.assert_array_equal(res.video, video)
+    expected = np.asarray(pipe.vae.decode(
+        server.params["vae"], jnp.asarray(lat.video), temporal_chunk=1))
+    np.testing.assert_allclose(video, expected, atol=1e-5)
+
+
+def test_http_streaming(served, tmp_path):
+    """NDJSON streaming endpoint: per-chunk lines with saved .npy paths,
+    then a final done line."""
+    server, pipe = served
+    httpd = serve_http(server, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        req = _request(pipe, seed=23, rid="hs0")
+        spec = {"seed": 23, "request_id": "hs0", "stream_chunk_frames": 1,
+                "output": str(tmp_path / "stream.npy")}
+        for f in ("prompt_embeds", "image", "id_cond", "id_vit_hidden",
+                  "audio_embeds", "af_matrix"):
+            path = tmp_path / f"{f}.npy"
+            np.save(path, getattr(req, f))
+            spec[f] = str(path)
+        http_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=json.dumps(spec).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(http_req, timeout=600) as r:
+            assert r.headers.get("Content-Type") == "application/x-ndjson"
+            lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    finally:
+        httpd.shutdown()
+    assert lines[-1].get("done") is True
+    assert lines[-1]["request_id"] == "hs0"
+    chunk_lines = lines[:-1]
+    assert lines[-1]["chunks"] == len(chunk_lines) >= 2
+    c = pipe.dit.cfg
+    video = np.concatenate([np.load(l["path"]) for l in chunk_lines], axis=1)
+    assert [l["start_frame"] for l in chunk_lines] == list(
+        np.cumsum([0] + [l["frames"] for l in chunk_lines[:-1]]))
+    assert video.shape == (1, c.sample_frames, 3, c.sample_height * 8,
+                           c.sample_width * 8)
+    assert np.isfinite(video).all()

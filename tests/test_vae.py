@@ -98,3 +98,24 @@ def test_chunked_encode_shape_and_proximity(vae, params):
     # the first chunk (global prefix, same stats window) matches closely
     np.testing.assert_allclose(np.asarray(chunked[:, 0]), np.asarray(full[:, 0]),
                                atol=np.abs(np.asarray(full)).max() * 0.5)
+
+
+def test_decode_stream_matches_chunked_decode(vae, params):
+    """`decode_stream` yields the exact chunked-decode frames with correct
+    start offsets; concatenation equals `decode(..., temporal_chunk=k)`."""
+    lat = jax.random.normal(jax.random.key(9),
+                            (1, 5, vae.cfg.latent_channels, 4, 4))
+    chunked = np.asarray(vae.decode(params, lat, temporal_chunk=2))
+    pos = 0
+    chunks = []
+    for start, chunk in vae.decode_stream(params, lat, temporal_chunk=2):
+        assert start == pos
+        chunks.append(np.asarray(chunk))
+        pos += chunk.shape[1]
+    assert len(chunks) > 1
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=1), chunked)
+    # single-shot fallback: one chunk, equal to the full decode
+    (s0, c0), = list(vae.decode_stream(params, lat))
+    assert s0 == 0
+    np.testing.assert_array_equal(np.asarray(c0),
+                                  np.asarray(vae.decode(params, lat)))
