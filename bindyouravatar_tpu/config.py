@@ -66,6 +66,11 @@ class DiTConfig:
     fuse_qk_norm: bool = False          # inference-only: flat-layout flash
     # with in-kernel QK-LN + RoPE (no vjp; keep False for training)
     remat: bool = False                 # jax.checkpoint each scan group
+    # remat policy: None = save nothing (recompute all); "save_attn" =
+    # keep the joint-attention kernel outputs across the backward
+    # (~113 MB bf16/layer at flagship geometry) so the ~60 ms/layer flash
+    # forward never recomputes — trades HBM for train-step time
+    remat_policy: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:

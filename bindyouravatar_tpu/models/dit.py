@@ -422,7 +422,11 @@ class DiT:
             return (hid_, enc_, last_routing), ys
 
         if c.remat:
-            group_body = jax.checkpoint(group_body)
+            policy = None
+            if c.remat_policy == "save_attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            group_body = jax.checkpoint(group_body, policy=policy)
 
         # uniform routing when audio runs with no face path (superset
         # behavior; the reference crashes in that configuration)

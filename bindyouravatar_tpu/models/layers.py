@@ -258,6 +258,10 @@ class JointSelfAttention(nn.Module):
             o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
                           rope=rope, rope_start=text_len, layout="bshd",
                           qk_norm=qk_aff)
+        # named for DiTConfig.remat_policy="save_attn": keep this tensor
+        # across the remat backward so the flash forward never recomputes
+        from jax.ad_checkpoint import checkpoint_name
+        o = checkpoint_name(o, "attn_out")
         o = o[:, :s_real].reshape(b, s_real, inner)
         o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_out")(o)

@@ -33,11 +33,13 @@ def main():
 
     n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     optimizer = sys.argv[2] if len(sys.argv) > 2 else "adamw"
+    remat_policy = sys.argv[3] if len(sys.argv) > 3 else None
     # bf16 params + moments: the single-chip-feasible probe (see docstring);
     # at 42 layers pass `adafactor` — factored second moments drop the
     # optimizer state from 2x trainable to ~sqrt sizes
     cfg = DiTConfig(num_layers=n_layers, cross_attn_interval=2,
                     audio_attn_interval=1, remat=True,
+                    remat_policy=remat_policy,
                     use_flash_attention=True,
                     param_dtype=jnp.bfloat16, dtype=jnp.bfloat16)
     dit = DiT.create(cfg)
@@ -99,6 +101,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "conditioned": True,
         "remat": True,
+        "remat_policy": remat_policy,
         "optimizer": optimizer,
         "dtypes": "bf16 params+moments (single-chip probe)",
     }))
