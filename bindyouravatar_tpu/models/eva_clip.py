@@ -68,7 +68,7 @@ class EVAAttention(nn.Module):
             k = jnp.concatenate([k[:, :, :1], apply_rotary_emb(k[:, :, 1:], cos, sin)], 2)
         o = sdpa(q, k, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, c.width)
-        o = LayerNorm(param_dtype=c.param_dtype, name="inner_attn_ln")(o)
+        o = LayerNorm(eps=1e-6, param_dtype=c.param_dtype, name="inner_attn_ln")(o)
         return nn.Dense(c.width, use_bias=True, dtype=c.dtype,
                         param_dtype=c.param_dtype, name="proj")(o)
 
@@ -79,14 +79,14 @@ class EVABlock(nn.Module):
     @nn.compact
     def __call__(self, x, rope):
         c = self.cfg
-        h = LayerNorm(param_dtype=c.param_dtype, name="norm1")(x)
+        h = LayerNorm(eps=1e-6, param_dtype=c.param_dtype, name="norm1")(x)
         x = x + EVAAttention(c, name="attn")(h, rope)
-        h = LayerNorm(param_dtype=c.param_dtype, name="norm2")(x)
+        h = LayerNorm(eps=1e-6, param_dtype=c.param_dtype, name="norm2")(x)
         hidden = int(c.width * c.mlp_ratio)
         w1 = nn.Dense(hidden, dtype=c.dtype, param_dtype=c.param_dtype, name="w1")(h)
         w2 = nn.Dense(hidden, dtype=c.dtype, param_dtype=c.param_dtype, name="w2")(h)
         g = nn.silu(w1) * w2
-        g = LayerNorm(param_dtype=c.param_dtype, name="ffn_ln")(g)
+        g = LayerNorm(eps=1e-6, param_dtype=c.param_dtype, name="ffn_ln")(g)
         x = x + nn.Dense(c.width, dtype=c.dtype, param_dtype=c.param_dtype,
                          name="w3")(g)
         return x
@@ -123,7 +123,7 @@ class EVAVisionTower(nn.Module):
                 taps.append(x)
             x = EVABlock(c, name=f"block_{i}")(x, rope)
 
-        x = LayerNorm(param_dtype=c.param_dtype, name="norm")(x)
+        x = LayerNorm(eps=1e-6, param_dtype=c.param_dtype, name="norm")(x)
         pooled = nn.Dense(c.out_dim, dtype=c.dtype, param_dtype=c.param_dtype,
                           name="head")(x[:, 0])
         return pooled, jnp.stack(taps, axis=1)

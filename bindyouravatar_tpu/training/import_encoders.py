@@ -78,6 +78,14 @@ def import_eva_vision(sd_or_path, cfg: EVACLIPConfig = EVACLIPConfig()) -> Dict[
     def g(k):
         return sd[pre + k].astype(np.float32)
 
+    # EVA applies RoPE in the interleaved-pair convention; our tower uses
+    # rotate-half tables (`ops/rope.py` note) — permute W_q/W_k output
+    # channels (and q_bias) per head so attention scores match bit-wise
+    dh = cfg.width // cfg.heads
+    p1 = np.concatenate([np.arange(0, dh, 2), np.arange(1, dh, 2)])
+    qk_perm = (np.concatenate([p1 + h * dh for h in range(cfg.heads)])
+               if cfg.use_rope else np.arange(cfg.width))
+
     conv = g("patch_embed.proj.weight")              # [width, 3, p, p]
     params: Dict[str, Any] = {
         "patch_embed": {"kernel": conv.transpose(2, 3, 1, 0),
@@ -93,9 +101,9 @@ def import_eva_vision(sd_or_path, cfg: EVACLIPConfig = EVACLIPConfig()) -> Dict[
             "norm1": {"scale": g(f"{b}.norm1.weight"), "bias": g(f"{b}.norm1.bias")},
             "norm2": {"scale": g(f"{b}.norm2.weight"), "bias": g(f"{b}.norm2.bias")},
             "attn": {
-                "q_proj": {"kernel": g(f"{b}.attn.q_proj.weight").T,
-                           "bias": g(f"{b}.attn.q_bias")},
-                "k_proj": {"kernel": g(f"{b}.attn.k_proj.weight").T},
+                "q_proj": {"kernel": g(f"{b}.attn.q_proj.weight").T[:, qk_perm],
+                           "bias": g(f"{b}.attn.q_bias")[qk_perm]},
+                "k_proj": {"kernel": g(f"{b}.attn.k_proj.weight").T[:, qk_perm]},
                 "v_proj": {"kernel": g(f"{b}.attn.v_proj.weight").T,
                            "bias": g(f"{b}.attn.v_bias")},
                 "inner_attn_ln": {"scale": g(f"{b}.attn.inner_attn_ln.weight"),
