@@ -48,6 +48,11 @@ def get_args(argv=None):
                    help="use the VAE posterior mode instead of sampling "
                         "(reference samples, train.py:1327-1337)")
     p.add_argument("--ema_decay", type=float, default=None)
+    p.add_argument("--remat_policy", choices=["none", "save_attn"],
+                   default="none",
+                   help="selective remat: save_attn keeps joint-attention "
+                        "outputs across the backward (~113 MB bf16/layer "
+                        "at flagship geometry)")
     p.add_argument("--fsdp", type=int, default=None,
                    help="fsdp axis size (default: all devices)")
     p.add_argument("--resume", type=str, default="latest")
@@ -101,8 +106,10 @@ def main(argv=None):
                                   layers_per_block=1, latent_channels=4,
                                   norm_num_groups=4, dtype=jnp.float32))
     else:
-        dit = DiT.create(DiTConfig(lora_rank=args.lora_rank,
-                                   lora_alpha=args.lora_alpha, remat=True))
+        dit = DiT.create(DiTConfig(
+            lora_rank=args.lora_rank, lora_alpha=args.lora_alpha, remat=True,
+            remat_policy=None if args.remat_policy == "none"
+            else args.remat_policy))
         vae = CausalVAE(VAEConfig())
 
     n_dev = len(jax.devices())
