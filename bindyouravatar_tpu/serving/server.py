@@ -381,31 +381,37 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                 self.wfile.write((json.dumps(payload) + "\n").encode())
                 self.wfile.flush()
 
-            idx = 0
-            deadline = time.monotonic() + float(spec.get("timeout_s", 3600))
-            while True:
-                try:
-                    start, arr = chunk_q.get(timeout=0.2)
-                except _q.Empty:
-                    if fut.done() and chunk_q.empty():
-                        break
-                    if time.monotonic() > deadline:
-                        fut.cancel()
-                        _line({"error": "timeout"})
-                        return
-                    continue
-                path = _check_path(f"{out_base}.chunk{idx:03d}.npy")
-                np.save(path, arr)
-                _line({"chunk": idx, "start_frame": int(start),
-                       "frames": int(arr.shape[1]), "path": path})
-                idx += 1
+            # headers are out: from here every error surfaces as an NDJSON
+            # error line (re-raising would corrupt the half-written response)
             try:
+                idx = 0
+                deadline = time.monotonic() + float(spec.get("timeout_s", 3600))
+                while True:
+                    try:
+                        start, arr = chunk_q.get(timeout=0.2)
+                    except _q.Empty:
+                        if fut.done() and chunk_q.empty():
+                            break
+                        if time.monotonic() > deadline:
+                            fut.cancel()
+                            _line({"error": "timeout"})
+                            return
+                        continue
+                    path = _check_path(f"{out_base}.chunk{idx:03d}.npy")
+                    np.save(path, arr)
+                    _line({"chunk": idx, "start_frame": int(start),
+                           "frames": int(arr.shape[1]), "path": path})
+                    idx += 1
                 result = fut.result(timeout=0)
-            except Exception as e:   # noqa: BLE001 — JSON error surface
-                _line({"error": f"{type(e).__name__}: {e}"})
-                return
-            _line({"done": True, "request_id": result.request_id,
-                   "chunks": idx, "timings": result.timings})
+                _line({"done": True, "request_id": result.request_id,
+                       "chunks": idx, "timings": result.timings})
+            except BrokenPipeError:
+                fut.cancel()
+            except Exception as e:   # noqa: BLE001 — NDJSON error surface
+                try:
+                    _line({"error": f"{type(e).__name__}: {e}"})
+                except OSError:
+                    pass
 
         def do_POST(self):
             if self.path != "/generate":
