@@ -42,8 +42,16 @@ def parse_opstats(log_dir: str, top: int = 40):
                          zip(ids, row["c"])})
     rows = [r for r in rows if r.get("host_or_device") == "Device"
             and isinstance(r.get("total_self_time"), (int, float))]
-    rows.sort(key=lambda r: -r["total_self_time"])
-    return rows[:top]
+    # the gviz payload carries two identical tables (device + combined view)
+    # -> every op appears twice; keep one row per op name
+    seen, uniq = set(), []
+    for r in rows:
+        key = (r.get("operation"), r["total_self_time"])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(r)
+    uniq.sort(key=lambda r: -r["total_self_time"])
+    return uniq[:top]
 
 
 def main():
