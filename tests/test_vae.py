@@ -119,3 +119,9 @@ def test_decode_stream_matches_chunked_decode(vae, params):
     assert s0 == 0
     np.testing.assert_array_equal(np.asarray(c0),
                                   np.asarray(vae.decode(params, lat)))
+    # ragged tail (5 latent frames, chunk 3 -> first chunk 4, tail 1)
+    chunks3 = list(vae.decode_stream(params, lat, temporal_chunk=3))
+    assert [c.shape[1] for _, c in chunks3] == [13, 4]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c) for _, c in chunks3], axis=1),
+        np.asarray(vae.decode(params, lat, temporal_chunk=3)))
