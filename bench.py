@@ -150,9 +150,28 @@ def time_step(f, params, lat, n=3):
     return (time.perf_counter() - t0) / n
 
 
+def _backend_watchdog(timeout_s: float = 900.0):
+    """The axon relay can be unreachable for hours (CLAUDE.md); a hung
+    backend init would stall the bench harness forever.  Fail fast with a
+    clear stderr message and a non-zero exit instead of emitting a bogus
+    JSON measurement."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), done.set()),
+                     daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: TPU backend init exceeded {timeout_s:.0f}s — "
+              f"relay unreachable, no measurement taken", file=sys.stderr)
+        os._exit(3)
+
+
 def main():
     import gc
 
+    _backend_watchdog()
     f_cond, p_cond, lat = build(conditioned=True)
     dt_cond = time_step(f_cond, p_cond, lat)
     del f_cond, p_cond, lat
