@@ -150,11 +150,53 @@ def time_step(f, params, lat, n=3):
     return (time.perf_counter() - t0) / n
 
 
+def _wait_for_relay():
+    """The axon relay can be unreachable for stretches (CLAUDE.md round-3
+    learnings); a hung in-process backend init can never be retried (the
+    init lock stays held).  Probe in a SUBPROCESS with a short timeout and
+    retry with backoff inside a bounded budget, so a transient outage during
+    the driver's bench window still yields a measurement.  Only if the
+    relay stays down for the whole budget do we exit 3 (clear stderr, no
+    bogus JSON).
+
+    Budget via BENCH_RELAY_BUDGET_S (default 2400 s), per-probe timeout via
+    BENCH_RELAY_PROBE_S (default 150 s)."""
+    import os
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("BENCH_RELAY_BUDGET_S", "2400"))
+    probe_s = float(os.environ.get("BENCH_RELAY_PROBE_S", "150"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_s, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: relay reachable after {attempt} probes",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"bench: relay unreachable for {budget:.0f}s "
+                  f"({attempt} probes) — no measurement taken",
+                  file=sys.stderr)
+            os._exit(3)
+        print(f"bench: relay probe {attempt} failed; retrying "
+              f"({remaining:.0f}s left in budget)", file=sys.stderr)
+        time.sleep(min(60.0, remaining))
+
+
 def _backend_watchdog(timeout_s: float = 900.0):
-    """The axon relay can be unreachable for hours (CLAUDE.md); a hung
-    backend init would stall the bench harness forever.  Fail fast with a
-    clear stderr message and a non-zero exit instead of emitting a bogus
-    JSON measurement."""
+    """Backstop AFTER a successful probe: if the relay dies between the
+    probe and this process's own backend init, fail fast instead of
+    hanging forever."""
     import os
     import sys
     import threading
@@ -171,6 +213,7 @@ def _backend_watchdog(timeout_s: float = 900.0):
 def main():
     import gc
 
+    _wait_for_relay()
     _backend_watchdog()
     f_cond, p_cond, lat = build(conditioned=True)
     dt_cond = time_step(f_cond, p_cond, lat)
