@@ -265,7 +265,12 @@ class PipelineConfig:
 class TrainConfig:
     """Stage-3 trainer config (reference `sft.sh` + `util/utils.py:25-479`)."""
     learning_rate: float = 1e-5
-    optimizer: str = "adamw"            # "adamw" | "adafactor" (TPU-native)
+    optimizer: str = "adamw"   # "adamw" | "adafactor" (TPU-native) | "prodigy"
+    # prodigy knobs (reference `train.py:296-307` / `util/utils.py` flags)
+    prodigy_beta3: Optional[float] = None
+    prodigy_decouple: bool = True
+    prodigy_use_bias_correction: bool = False
+    prodigy_safeguard_warmup: bool = False
     # two-group LR (reference `train.py:756-762`): perceiver x10, rest x0.1
     is_diff_lr: bool = False
     diff_lr_high: float = 10.0

@@ -344,6 +344,12 @@ class BindYourAvatarPipeline:
         img_lat = self.prepare_image_latents(params["vae"], image, t_lat)
         bg_lat = None
         if image_bg is not None:
+            if self.dit.cfg.in_channels // self.vae.cfg.latent_channels < 3:
+                raise ValueError(
+                    f"image_bg given but DiT in_channels="
+                    f"{self.dit.cfg.in_channels} has no bg latent block "
+                    f"(needs >= 3x latent_channels="
+                    f"{self.vae.cfg.latent_channels})")
             bg_lat = self.prepare_image_latents(params["vae"], image_bg, t_lat)
         elif self.dit.cfg.in_channels // self.vae.cfg.latent_channels >= 3:
             bg_lat = jnp.zeros_like(img_lat)   # reference `use_inpaint=False`

@@ -93,8 +93,16 @@ def _base_opt(cfg: TrainConfig, lr_mult: float = 1.0) -> optax.GradientTransform
                            eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay)
     if cfg.optimizer == "adafactor":   # TPU-native low-memory choice
         return optax.adafactor(lr)
+    if cfg.optimizer == "prodigy":     # reference `train.py:281-307`
+        from .prodigy import prodigy
+        return prodigy(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                       beta3=cfg.prodigy_beta3, eps=cfg.adam_epsilon,
+                       weight_decay=cfg.weight_decay,
+                       decouple=cfg.prodigy_decouple,
+                       use_bias_correction=cfg.prodigy_use_bias_correction,
+                       safeguard_warmup=cfg.prodigy_safeguard_warmup)
     raise ValueError(f"unknown optimizer {cfg.optimizer} "
-                     "(8-bit/prodigy have no optax equivalent; use adamw)")
+                     "(8-bit adam has no optax equivalent; use adamw)")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

@@ -107,7 +107,11 @@ def build_models(args):
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.model_size == "tiny":
-        dit = DiT.tiny(in_channels=8, out_channels=4)
+        # a bg inpainting frame occupies a third latent channel block
+        # (reference `infer.py:48`: 16 noise + 16 image + 16 bg); the tiny
+        # tier's VAE has 4 latent channels per block
+        in_ch = 12 if args.inpaintingframe_path else 8
+        dit = DiT.tiny(in_channels=in_ch, out_channels=4)
         vae = CausalVAE(VAEConfig(block_out_channels=(8, 8, 16, 16),
                                   layers_per_block=1, latent_channels=4,
                                   norm_num_groups=4, dtype=jnp.float32))

@@ -27,6 +27,12 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=10000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--optimizer", choices=["adamw", "adafactor", "prodigy"],
+                   default="adamw")
+    p.add_argument("--prodigy_beta3", type=float, default=None)
+    p.add_argument("--prodigy_decouple", type=bool, default=True)
+    p.add_argument("--prodigy_use_bias_correction", type=bool, default=False)
+    p.add_argument("--prodigy_safeguard_warmup", type=bool, default=False)
     p.add_argument("--lora_rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=128.0)
     p.add_argument("--checkpointing_steps", type=int, default=100)
@@ -85,6 +91,10 @@ def main(argv=None):
 
     cfg = TrainConfig(
         learning_rate=args.learning_rate, max_train_steps=args.max_train_steps,
+        optimizer=args.optimizer, prodigy_beta3=args.prodigy_beta3,
+        prodigy_decouple=args.prodigy_decouple,
+        prodigy_use_bias_correction=args.prodigy_use_bias_correction,
+        prodigy_safeguard_warmup=args.prodigy_safeguard_warmup,
         lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,

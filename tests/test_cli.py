@@ -278,3 +278,29 @@ def test_cli_tiny_tp2(tmp_path):
         "--seed", "3",
         "--output_dir", str(tmp_path / "out_tp")])
     assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+
+def test_batch_golden_tier(tmp_path, monkeypatch):
+    """The full shipped cfg tier (assets/config/000..006.cfg — 1/2 audio
+    tracks, bg frame on/off, two-stage on/off, both speaker sides, ddim +
+    dynamic CFG) runs green through the real batch driver (reference
+    golden-sample harness `tools/batch_run_samples.py` over
+    `assets/config/001..014.cfg`, SURVEY.md §4)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_dir = os.path.join(repo, "assets", "config")
+    cfgs = sorted(f for f in os.listdir(cfg_dir)
+                  if f.endswith(".cfg") and f != "default.cfg")
+    assert len(cfgs) >= 7, f"golden tier thinned: {cfgs}"
+
+    monkeypatch.chdir(repo)   # cfgs use repo-relative asset paths
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import batch_run_samples
+
+    monkeypatch.setattr("sys.argv", ["batch_run_samples.py",
+                                     "--output_root", str(tmp_path)])
+    with pytest.raises(SystemExit) as e:
+        batch_run_samples.main()
+    assert int(e.value.code or 0) == 0
+    for name in cfgs:
+        out = tmp_path / os.path.splitext(name)[0] / "output.mp4"
+        assert out.is_file() and out.stat().st_size > 0, name

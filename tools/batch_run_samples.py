@@ -54,7 +54,13 @@ def main():
                 infer.main(argv)
                 results.append((name, 0))
             except SystemExit as e:
-                results.append((name, int(e.code or 0)))
+                # SystemExit.code may be a message string (argparse/usage
+                # errors); any non-int, non-None code is a failure
+                if e.code is None or isinstance(e.code, int):
+                    results.append((name, int(e.code or 0)))
+                else:
+                    print(f"[batch] {name}: {e.code}", file=sys.stderr)
+                    results.append((name, 1))
     for name, rc in results:
         print(f"[batch] {name}: {'OK' if rc == 0 else f'FAIL({rc})'}")
     sys.exit(max((rc for _, rc in results), default=0))

@@ -77,13 +77,39 @@ def main():
     with open(os.path.join(root, "config", "default.cfg"), "w") as f:
         f.write(f"--model_size {args.model_size}\n"
                 f"--num_inference_steps 2\n--num_frames {frames}\n"
-                f"--height {hw[0]} --width {hw[1]}\n--seed 42\n")
+                f"--height {hw[0]} --width {hw[1]}\n--seed 42\n"
+                f"--mute_audio_path {root}/audio_emb/ae_mute.pt\n")
+    # per-sample flag variations exercising the reference's golden-tier input
+    # shapes (`/root/reference/assets/config/001..014.cfg`): 1- vs 2-track
+    # audio, bg inpainting frame on/off, two-stage on/off, speaker side,
+    # guidance, zero2cond, scheduler.
+    variations = [
+        ("two people having a conversation", 2, False, "left", []),
+        ("an elderly man and a young boy on a park bench", 2, True, "left",
+         ["--guidance_scale 9"]),
+        ("a person speaking to a silent listener", 1, False, "right", []),
+        ("a man and an android face each other", 2, True, "right",
+         ["--guidance_scale 7"]),
+        ("a narrator in front of a mural", 1, True, "left",
+         ["--zero2cond_cfg_flag"]),
+        ("two friends on a city street", 2, False, "left",
+         ["--two_stage_generate"]),
+        ("two hosts presenting a show", 2, False, "right",
+         ["--scheduler ddim", "--use_dynamic_cfg"]),
+    ]
     for i in range(args.num_samples):
+        prompt, n_tracks, bg, side, extra = variations[i % len(variations)]
+        tracks = " ".join(f"{root}/audio_emb/{i:03d}_{k}.pt"
+                          for k in range(n_tracks))
+        lines = [f'--prompt "{prompt}"',
+                 f"--audio_path {tracks}",
+                 f"--speaker_pos {side}"]
+        if bg:
+            lines.append(f"--inpaintingframe_path "
+                         f"{root}/inpaintingframe/{i:03d}.png")
+        lines += extra
         with open(os.path.join(root, "config", f"{i:03d}.cfg"), "w") as f:
-            f.write(f'--prompt "two people having a conversation"\n'
-                    f"--audio_path {root}/audio_emb/{i:03d}_0.pt "
-                    f"{root}/audio_emb/{i:03d}_1.pt\n"
-                    f"--speaker_pos left\n")
+            f.write("\n".join(lines) + "\n")
     print(f"wrote {args.num_samples} samples under {root}/")
 
 
