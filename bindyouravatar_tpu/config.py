@@ -69,7 +69,12 @@ class DiTConfig:
     # remat policy: None = save nothing (recompute all); "save_attn" =
     # keep the joint-attention kernel outputs across the backward
     # (~113 MB bf16/layer at flagship geometry) so the ~60 ms/layer flash
-    # forward never recomputes — trades HBM for train-step time
+    # forward never recomputes — trades HBM for train-step time;
+    # "nested" = additionally remat each block INSIDE the group so the
+    # group backward recomputes one layer at a time (lowest peak HBM:
+    # only one layer's bf16 [S, 4*dim] FF temps live at once — the
+    # single-chip train-depth lever; costs one extra block forward per
+    # block during backward)
     remat_policy: Optional[str] = None
 
     @property

@@ -371,13 +371,26 @@ class DiT:
                 lambda p: p.reshape((n_groups, audio_per_group) + p.shape[1:]),
                 params["audio_layers"])
 
+        def block_apply(bp, hid_, enc_):
+            return m["block"].apply({"params": bp}, hid_, enc_, temb, rope,
+                                    sp_mesh)
+
+        if c.remat and c.remat_policy == "nested":
+            # second remat level: each BLOCK inside the (remat'd) group is
+            # itself remat'd, so the group's backward recomputes one layer
+            # at a time — without this, every layer-in-group's bf16
+            # [S, 4*dim] FF temps (416 MB each at flagship geometry) are
+            # live simultaneously during the group backward (the round-3
+            # single-chip depth limiter).  Cost: one extra block forward
+            # per block during backward.
+            block_apply = jax.checkpoint(block_apply)
+
         def group_body(carry, group_xs):
             hid_, enc_, last_routing = carry
             preds = []
             for j in range(g):
-                hid_, enc_ = m["block"].apply(
-                    {"params": _tree_at(group_xs["blocks"], j)},
-                    hid_, enc_, temb, rope, sp_mesh)
+                hid_, enc_ = block_apply(
+                    _tree_at(group_xs["blocks"], j), hid_, enc_)
 
                 if c.is_train_face and face_emb is not None and j % c.cross_attn_interval == 0:
                     pj = j // c.cross_attn_interval

@@ -54,7 +54,7 @@ def get_args(argv=None):
                    help="use the VAE posterior mode instead of sampling "
                         "(reference samples, train.py:1327-1337)")
     p.add_argument("--ema_decay", type=float, default=None)
-    p.add_argument("--remat_policy", choices=["none", "save_attn"],
+    p.add_argument("--remat_policy", choices=["none", "save_attn", "nested"],
                    default="none",
                    help="selective remat: save_attn keeps joint-attention "
                         "outputs across the backward (~113 MB bf16/layer "

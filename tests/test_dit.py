@@ -158,13 +158,14 @@ def test_remat_matches(dit, params):
 
 def test_remat_save_attn_policy_matches(dit, params):
     """remat_policy="save_attn" (keep joint-attention outputs across the
-    backward) changes scheduling only — forward AND grads must match the
-    plain-remat configuration exactly."""
+    backward) and "nested" (per-block remat inside the group, the
+    single-chip train-depth lever) change scheduling only — forward AND
+    grads must match the plain-remat configuration exactly."""
     import dataclasses
     inp = _inputs(dit)
     kw = dict(id_cond=inp["id_cond"], id_vit_hidden=inp["id_vit_hidden"])
     variants = []
-    for policy in (None, "save_attn"):
+    for policy in (None, "save_attn", "nested"):
         d = dataclasses.replace(dit, cfg=dataclasses.replace(
             dit.cfg, remat=True, remat_policy=policy))
 
@@ -175,10 +176,11 @@ def test_remat_save_attn_policy_matches(dit, params):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         variants.append((float(loss), grads))
-    (l0, g0), (l1, g1) = variants
-    np.testing.assert_allclose(l0, l1, rtol=1e-6)
-    jax.tree.map(lambda a, b: np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), atol=1e-5), g0, g1)
+    (l0, g0) = variants[0]
+    for l1, g1 in variants[1:]:
+        np.testing.assert_allclose(l0, l1, rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5), g0, g1)
 
 
 def test_combine_before_out_projection_is_exact():
