@@ -42,6 +42,80 @@ def sdpa(
     return jnp.einsum("...qk,...kd->...qd", p.astype(v.dtype), v)
 
 
+# XLA fallback switches to the q-block-chunked path when the full score
+# tensor would exceed this (bytes).  Keeps full-sequence runs feasible on
+# CPU test hosts (48 heads x 17,776^2 fp32 scores = 121 GB with plain SDPA).
+CHUNKED_SDPA_BYTES = 2 << 30
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sdpa_chunked_core(q, k, v, scale: float, kv_len: int, block_q: int):
+    return _sdpa_chunked_fwd_impl(q, k, v, scale, kv_len, block_q)
+
+
+def _sdpa_chunked_fwd_impl(q, k, v, scale, kv_len, block_q):
+    """[B,H,S,D] fp32-softmax attention, scores materialised only
+    [block_q, Skv] per (b, h) slice (lax.map over b*h, scan over q blocks)."""
+    b, h, s, d = q.shape
+    skv = k.shape[2]
+    s_pad = -(-s // block_q) * block_q
+    qf = jnp.pad(q, [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]).astype(jnp.float32)
+    kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+    nq = s_pad // block_q
+    qf = qf.reshape(b * h, nq, block_q, d)
+    kv_mask = (jnp.arange(skv) < kv_len) if kv_len < skv else None
+
+    def per_bh(args):
+        qbh, kbh, vbh = args
+
+        def body(_, qb):
+            sblk = jnp.einsum("qd,kd->qk", qb, kbh) * scale
+            if kv_mask is not None:
+                sblk = jnp.where(kv_mask, sblk,
+                                 jnp.finfo(jnp.float32).min * 0.7)
+            p = jax.nn.softmax(sblk, axis=-1)
+            return None, jnp.einsum("qk,kd->qd", p, vbh)
+
+        _, ob = jax.lax.scan(body, None, qbh)
+        return ob.reshape(s_pad, d)
+
+    flat = lambda x: x.reshape((b * h,) + x.shape[2:])
+    o = jax.lax.map(per_bh, (qf, flat(kf), flat(vf)))
+    return o.reshape(b, h, s_pad, d)[:, :, :s, :].astype(v.dtype)
+
+
+def _sdpa_chunked_vjp_fwd(q, k, v, scale, kv_len, block_q):
+    o = _sdpa_chunked_fwd_impl(q, k, v, scale, kv_len, block_q)
+    return o, (q, k, v, o)
+
+
+def _sdpa_chunked_vjp_bwd(scale, kv_len, block_q, res, do):
+    from .flash_attention import _chunked_bwd
+
+    q, k, v, o = res
+    dq, dk, dv = _chunked_bwd(q, k, v, o, do, scale, kv_len,
+                              block_q=block_q)
+    return dq, dk, dv
+
+
+_sdpa_chunked_core.defvjp(_sdpa_chunked_vjp_fwd, _sdpa_chunked_vjp_bwd)
+
+
+def sdpa_chunked(q, k, v, scale=None, kv_len=None, block_q: int = 1024):
+    """Memory-bounded SDPA ([B,H,S,D]); exact (per-q-block full-row
+    softmax, no online accumulation)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    if kv_len is None:
+        kv_len = k.shape[-2]
+    return _sdpa_chunked_core(q, k, v, float(scale), int(kv_len),
+                              int(block_q))
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -104,5 +178,9 @@ def attention(
              apply_rotary_emb(x[..., rope_start:end, :], cos, sin),
              x[..., end:, :]], axis=-2)
         q, k = rot(q), rot(k)
-    out = sdpa(q, k, v, scale=scale, kv_len=kv_len)
+    score_bytes = 4 * q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    if score_bytes > CHUNKED_SDPA_BYTES and q.shape[2] == k.shape[2]:
+        out = sdpa_chunked(q, k, v, scale=scale, kv_len=kv_len)
+    else:
+        out = sdpa(q, k, v, scale=scale, kv_len=kv_len)
     return out.transpose(0, 2, 1, 3) if layout == "bshd" else out

@@ -555,3 +555,37 @@ def test_joint_attention_fused_flat_matches_unfused():
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_sdpa_chunked_matches_sdpa():
+    """Memory-bounded q-block-chunked SDPA (the CPU fallback for score
+    tensors that would not fit, e.g. 48 x 17776^2 fp32 = 121 GB): forward
+    AND grads match plain SDPA, incl. kv_len masking and non-dividing
+    block_q."""
+    import jax
+    import jax.numpy as jnp
+
+    from bindyouravatar_tpu.ops.attention import sdpa, sdpa_chunked
+
+    rng = np.random.default_rng(7)
+    b, h, s, d = 2, 3, 70, 16
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (b, h, s, d)).astype(np.float32))
+               for _ in range(3))
+
+    for kv_len in (s, 61):
+        want = sdpa(q, k, v, kv_len=kv_len)
+        got = sdpa_chunked(q, k, v, kv_len=kv_len, block_q=32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+        def loss(fn, kv_len=kv_len):
+            return lambda q_, k_, v_: (fn(q_, k_, v_, kv_len=kv_len)
+                                       ** 2).sum()
+
+        gw = jax.grad(loss(sdpa), argnums=(0, 1, 2))(q, k, v)
+        gc = jax.grad(lambda q_, k_, v_: (sdpa_chunked(
+            q_, k_, v_, kv_len=kv_len, block_q=32) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gc, gw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4)
