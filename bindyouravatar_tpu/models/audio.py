@@ -87,7 +87,7 @@ class AudioProjModel(nn.Module):
 
         x = downsample(downsample(x))                      # [B, F_lat, 32*768]
         x = x.reshape(b, x.shape[1], c.context_tokens, c.audio_dim)
-        return LayerNorm(param_dtype=self.param_dtype, name="norm")(x)
+        return LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm")(x)
 
 
 class EinsumOutProj(nn.Module):
@@ -144,7 +144,7 @@ class AudioCrossAttnLayer(nn.Module):
         nh = c.num_attention_heads
         inner = nh * dh
 
-        q_in = LayerNorm(param_dtype=self.param_dtype, name="norm_q")(video)
+        q_in = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm_q")(video)
         q = nn.Dense(inner, use_bias=True, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_q")(q_in)
         k = nn.Dense(inner, use_bias=True, dtype=self.dtype,

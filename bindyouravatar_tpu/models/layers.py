@@ -23,16 +23,33 @@ class LayerNorm(nn.Module):
     eps: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    fused: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        d = x.shape[-1]
+        if self.fused and self.use_scale and self.use_bias:
+            # single-pass Pallas LN on TPU (bf16 read + fp32 stats + bf16
+            # write in VMEM) — XLA's lowering materialises a fp32 convert
+            # and fuses the normalize into the consuming matmul, which then
+            # reads 2x bytes (audio to_q measured 145 vs 175 TF/s).  OPT-IN:
+            # where the LN output feeds an adaLN modulation (LayerNormZero),
+            # XLA's own fusion wins — forcing the kernel there cost the bare
+            # DiT ~160 ms/step (chip-measured r4) — so only the profiled
+            # conditioning-path sites set fused=True
+            from ..ops.layernorm import fused_layernorm
+
+            scale = self.param("scale", nn.initializers.ones, (d,),
+                               self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (d,),
+                              self.param_dtype)
+            return fused_layernorm(x, scale, bias, self.eps)
         dtype = x.dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        d = x.shape[-1]
         if self.use_scale:
             y = y * self.param("scale", nn.initializers.ones, (d,), self.param_dtype)
         if self.use_bias:

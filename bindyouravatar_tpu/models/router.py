@@ -66,8 +66,8 @@ class PerceiverCrossAttention(nn.Module):
         s = video_tokens.shape[1]
         inner = self.dim_head * self.heads
 
-        x = LayerNorm(param_dtype=self.param_dtype, name="norm1")(face_tokens)
-        lat = LayerNorm(param_dtype=self.param_dtype, name="norm2")(video_tokens)
+        x = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm1")(face_tokens)
+        lat = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm2")(video_tokens)
 
         q_flat = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="to_q")(lat)
@@ -145,17 +145,32 @@ class AxisAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.packed_attention import tiny_seq_attention
+        from ..ops.packed_attention import pair_axis_attention, tiny_seq_attention
 
         sh = x.shape
         dh = self.dim // self.heads
+        dense = lambda name: nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        if self.axis == 1 and sh[1] == 2:
+            # multi-ID fast path: the id axis stays LEADING ([B, I, THW, C]
+            # is a FREE reshape of [B, I, T, H, W, C]) — no transpose, and
+            # projections + kernel all run on dense-tiled arrays.  The old
+            # path's [M, 2, C] arrays tile 2 -> 8 sublanes in HBM (4x) and
+            # taxed the transpose, all four projections, and the kernel.
+            b, i = sh[0], sh[1]
+            xf = x.reshape(b, i, -1, self.dim)
+            q = dense("to_q")(xf)
+            k = dense("to_k")(xf)
+            v = dense("to_v")(xf)
+            o = pair_axis_attention(q, k, v, self.heads, dh ** -0.5)
+            o = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="to_out")(o)
+            return o.reshape(sh)
         perm = [j for j in range(5) if j != self.axis] + [self.axis, 5]
         xt = x.transpose(perm)                      # [batch..., S, C]
         s = xt.shape[-2]
         m = int(np.prod(xt.shape[:-2]))
         xf = xt.reshape(m, s, self.dim)
-        dense = lambda name: nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
         # channel-packed kernel IO: the projections' [M, S, C] layout flows
         # straight through (head split happens in VMEM lane slices / the
         # packed fold — no [M, S*H, dh] HBM reshapes)
@@ -197,22 +212,26 @@ class SpatialTemporalAttentionBlock(nn.Module):
                                  name="multi_id_attn")
 
         xs = x.reshape(b * i * t, h * w, c)
-        xs = LayerNorm(param_dtype=self.param_dtype, name="norm1")(xs)
+        xs = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm1")(xs)
         x = x + spatial(xs).reshape(b, i, t, h, w, c)
 
-        xt = LayerNorm(param_dtype=self.param_dtype, name="norm2")(x)
+        xt = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm2")(x)
         x = x + temporal(xt)
 
-        xi = LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
+        xi = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm3")(x)
         x = x + multi_id(xi)
 
-        y = LayerNorm(param_dtype=self.param_dtype, name="norm4")(x)
+        y = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm4")(x)
+        # flat [M, C] for the MLP matmuls: the 6D [B,I,T,H,W,C] shape leaves
+        # XLA a ragged (45, 512)-minor row tiling (measured 52 GF/s); the
+        # free reshape to 2D restores dense MXU tiles
+        y = y.reshape(-1, c)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + y.reshape(x.shape)
 
 
 @functools.lru_cache(maxsize=16)
@@ -310,7 +329,7 @@ class MultiIPRouterTrunk(nn.Module):
         feat = jnp.einsum("bsf,bifg->bisg", q_proj, kx,
                           preferred_element_type=jnp.float32)
         feat = feat.astype(self.dtype)
-        feat = LayerNorm(param_dtype=self.param_dtype, name="norm")(feat)
+        feat = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm")(feat)
 
         pos = jnp.asarray(_router_pos_emb(t, h, w, c.feat_dim))
         feat = feat + pos.astype(feat.dtype)[None, None]
@@ -337,8 +356,8 @@ class RouterNorms(nn.Module):
 
     @nn.compact
     def __call__(self, q_flat, k_flat):
-        q = LayerNorm(param_dtype=self.param_dtype, name="norm_q")(q_flat)
-        k = LayerNorm(param_dtype=self.param_dtype, name="norm_k")(k_flat)
+        q = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm_q")(q_flat)
+        k = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm_k")(k_flat)
         return q, k
 
 

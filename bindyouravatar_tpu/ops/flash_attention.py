@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = 1.4426950408889634   # log2(e): exp(x) == exp2(x * LOG2E)
 # scoped-VMEM budget for the kernels: the 16 MB default rejects the swept
 # 1536-block config (21.3 MB with rope tiles + double buffering); v5e has
 # 128 MB of VMEM
@@ -690,13 +691,23 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
         refs = refs[2:]
     dq_ref, dk_ref, dv_ref = refs[:3]
     scratch = refs[3:]
+    qs = scratch[0]
+    scratch = scratch[1:]
     if has_rope:
-        qr, kr = scratch[:2]
-        scratch = scratch[2:]
+        kr = scratch[0]
+        scratch = scratch[1:]
     dq_acc, dk_acc, dv_acc = scratch
 
     ik = pl.program_id(2)
     iq = pl.program_id(3)
+
+    # VPU-trim scale folding: q is cached pre-multiplied by
+    # sm_scale*log2(e), the lse row-stat arrives pre-multiplied by log2(e)
+    # (see _bwd_flat_impl), so p^T = exp2(st - lse2) with NO per-tile
+    # [bk, bq] multiplies (exp lowers to exp2+mul anyway).  The folds are
+    # unwound at the cheap [rows, d] stores: dk *= 1/log2(e),
+    # dq *= sm_scale.
+    qscale = sm_scale * LOG2E
 
     def rd(ref, sl):
         """[rows, hpb*dh] tile from a whole-sequence block."""
@@ -706,39 +717,50 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
         hs = [fn(x[:, h * dh:(h + 1) * dh], h) for h in range(hpb)]
         return jnp.concatenate(hs, axis=1) if hpb > 1 else hs[0]
 
-    if has_rope:
-        @pl.when((ik == 0) & (iq == 0))
-        def _rot_cache():
-            # rotate q/k ONCE per (b, head-pair) into scratch — the
-            # two-kernel path re-rotates every (ik, iq) tile pair
-            full = slice(None)
-            qr[...] = halves(rd(q_ref, full), lambda x, _: _rope_tile(
-                x, cos_ref[...], sin_ref[...]))
+    @pl.when((ik == 0) & (iq == 0))
+    def _cache():
+        # rotate+scale q / rotate k ONCE per (b, head-pair) into scratch —
+        # the two-kernel path re-rotates every (ik, iq) tile pair.  The
+        # qscale fold rides the fp32 rope tables (full precision).
+        full = slice(None)
+        if has_rope:
+            qs[...] = halves(rd(q_ref, full), lambda x, _: _rope_tile(
+                x, cos_ref[...] * qscale, sin_ref[...] * qscale))
             kr[...] = halves(rd(k_ref, full), lambda x, _: _rope_tile(
                 x, cos_ref[...], sin_ref[...]))
+        else:
+            qs[...] = (rd(q_ref, full).astype(jnp.float32)
+                       * qscale).astype(qs.dtype)
 
     slq = pl.ds(iq * block_q, block_q)
     slk = pl.ds(ik * block_k, block_k)
-    qt = qr[slq, :] if has_rope else rd(q_ref, slq)      # [bq, hpb*dh]
+    qt = qs[slq, :]                                      # [bq, hpb*dh] scaled
     kt = kr[slk, :] if has_rope else rd(k_ref, slk)      # [bk, hpb*dh]
     vt = rd(v_ref, slk)
     dot_ = rd(do_ref, slq)
+
+    if need_mask:
+        # kv-validity as a [bk, 1] penalty COLUMN broadcast-added to the
+        # score tile: ONE VPU pass (vs iota+cmp+select = 3), and no
+        # lax.cond — Mosaic's false branch copies the 4 MB tile (measured
+        # +50 ms at the joint shape)
+        pen = jnp.where(
+            ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0) < kv_len,
+            jnp.float32(0), jnp.float32(NEG_INF))
 
     dq_cs, dk_cs, dv_cs = [], [], []
     for h in range(hpb):
         sl = slice(h * dh, (h + 1) * dh)
         st = jax.lax.dot_general(kt[:, sl], qt[:, sl], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * sm_scale
+                                 preferred_element_type=jnp.float32)
         if need_mask:
-            rows = ik * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, st.shape, 0)
-            st = jnp.where(rows < kv_len, st, NEG_INF)
-        pt = jnp.exp(st - lse_ref[0, 0, h:h + 1, slq])   # [bk, bq] = p^T
+            st = st + pen
+        pt = jnp.exp2(st - lse_ref[0, 0, h:h + 1, slq])  # [bk, bq] = p^T
         dpt = jax.lax.dot_general(vt[:, sl], dot_[:, sl],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dst = (pt * (dpt - dl_ref[0, 0, h:h + 1, slq])
-               * sm_scale).astype(qt.dtype)
+        dst = (pt * (dpt - dl_ref[0, 0, h:h + 1, slq])).astype(qt.dtype)
         ptc = pt.astype(dot_.dtype)
         dv_cs.append(jax.lax.dot_general(ptc, dot_[:, sl],
                                          (((1,), (0,)), ((), ())),
@@ -772,7 +794,7 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
     @pl.when(ik == num_kv_blocks - 1)      # last visit of this q slice
     def _store_dq():
-        g = dq_acc[slq, :]
+        g = dq_acc[slq, :] * sm_scale       # unwind the dst' fold
         if has_rope:                        # adjoint rotation R^T
             g = halves(g, lambda x, _: _rope_tile(
                 x, cos_ref[slq, :], -sin_ref[slq, :]))
@@ -783,7 +805,7 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
     @pl.when(iq == num_q_blocks - 1)       # kv slice complete
     def _store_dkv():
-        g = dk_acc[...]
+        g = dk_acc[...] * (1.0 / LOG2E)     # unwind the q-cache log2e fold
         if has_rope:
             g = halves(g, lambda x, _: _rope_tile(
                 x, cos_ref[slk, :], -sin_ref[slk, :]))
@@ -845,14 +867,16 @@ def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
                             lambda b_, hp, ik, iq: (b_, hp, 0, 0))
 
     in_specs = [full_spec] * 4 + [row_spec, row_spec]
-    inputs = [q, k, v, do, lse_c, delta_c]
-    scratch = []
+    # exp2 fold: lse pre-multiplied by log2(e) so the kernel's p^T needs no
+    # per-tile multiply (the padded-row fill -NEG_INF stays huge-positive)
+    inputs = [q, k, v, do, lse_c * LOG2E, delta_c]
+    scratch = [pltpu.VMEM((s_pad, dpair), q.dtype)]            # qs (scaled q)
     if has_rope:
         cos, sin = _pad_rope(rope, s_pad)
         rspec = pl.BlockSpec((s_pad, d), lambda *_: (0, 0))
         in_specs += [rspec, rspec]
         inputs += [cos, sin]
-        scratch += [pltpu.VMEM((s_pad, dpair), q.dtype)] * 2   # qr, kr
+        scratch += [pltpu.VMEM((s_pad, dpair), q.dtype)]       # kr
     scratch += [pltpu.VMEM((s_pad, dpair), jnp.float32),       # dq acc
                 pltpu.VMEM((block_k, dpair), jnp.float32),     # dk acc
                 pltpu.VMEM((block_k, dpair), jnp.float32)]     # dv acc

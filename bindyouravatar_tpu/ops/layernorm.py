@@ -1,0 +1,94 @@
+"""Fused single-pass LayerNorm Pallas kernel.
+
+XLA lowers `LayerNorm(x.astype(f32)) -> bf16` over [B, S, 3072] as a
+materialised fp32 convert (+216 MB), a stats pass, and a normalize epilogue
+that gets FUSED INTO THE CONSUMING MATMUL — which then reads the fp32
+convert instead of bf16 activations (measured: audio to_q at 145 TF/s /
+184 GB/s vs 175 TF/s for the same matmul on bf16 input; r4 profile).  This
+kernel does the whole LN in VMEM — read bf16 once, fp32 statistics, scale +
+bias, write bf16 once (216 MB total traffic vs ~540 MB + the matmul tax).
+
+Mirrors the reference's `nn.LayerNorm(dim, eps, elementwise_affine=True)`
+uses (e.g. `/root/reference/models/audio_model.py:231`,
+`models/router.py:205`); math identical to `models.layers.LayerNorm`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    y = c * jax.lax.rsqrt(var + eps)
+    o_ref[...] = (y * s_ref[...] + b_ref[...]).astype(o_ref.dtype)
+
+
+def _ln_ref(x, scale, bias, eps):
+    """Executable spec (CPU and backward path) — identical fp32 math."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_layernorm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the last dim of `x` ([..., D], D % 128 == 0) with
+    fp32 statistics, returning x.dtype.  Pallas single-pass kernel on TPU;
+    XLA spec elsewhere.  Backward runs through the XLA spec (the fused
+    forward matters on the 50-step inference loop; training keeps exact
+    autodiff grads)."""
+    return _ln_impl(x, scale, bias, eps)
+
+
+def _ln_impl(x, scale, bias, eps):
+    d = x.shape[-1]
+    if (jax.devices()[0].platform != "tpu" or d % 128
+            or x.ndim < 2 or x.dtype == jnp.float64):
+        return _ln_ref(x, scale, bias, eps)
+    shape = x.shape
+    m = 1
+    for v in shape[:-1]:
+        m *= v
+    xf = x.reshape(m, d)
+    rows = min(512, max(8, m))
+    spec = pl.BlockSpec((rows, d), lambda i: (i, 0))
+    vspec = pl.BlockSpec((1, d), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(pl.cdiv(m, rows),),
+        in_specs=[spec, vspec, vspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xf, scale.astype(jnp.float32).reshape(1, d),
+      bias.astype(jnp.float32).reshape(1, d))
+    return out.reshape(shape)
+
+
+def _ln_fwd(x, scale, bias, eps):
+    return _ln_impl(x, scale, bias, eps), (x, scale, bias)
+
+
+def _ln_bwd(eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x_, s_, b_: _ln_ref(x_, s_, b_, eps),
+                     x, scale, bias)
+    return vjp(g)
+
+
+fused_layernorm.defvjp(_ln_fwd, _ln_bwd)

@@ -211,6 +211,103 @@ def _tiny_impl(q, k, v, heads, sm_scale):
     )(q, k, v)
 
 
+# --------------------------------------------------------------------- #
+# pair-axis attention: [B, 2, M, C] across the LEADING pair axis
+#
+# The multi-ID STAB attention (S = num_ids = 2) previously transposed x to
+# [..., I, C] and ran projections + kernel on [M, 2, 512] arrays — whose
+# second-minor dim 2 tiles to 8 sublanes in HBM: a 4x layout blowup paid by
+# the transpose, all four projections, AND the kernel reads (measured
+# 277 GB/s effective).  Keeping the id axis LEADING ([B, I, THW, C] — a
+# free reshape of the trunk's [B, I, T, H, W, C]) makes every array
+# dense-tiled; this kernel blocks (1, 2, rows, C) so the pair never enters
+# the minor dims, and the 2-way softmax runs as closed-form VPU ops.
+
+def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, sm_scale: float):
+    _, _, r, c = q_ref.shape
+    dh = c // heads
+    q = q_ref[0]                                     # [2, rows, C]
+    k = k_ref[0]
+    v = v_ref[0]
+    o0s, o1s = [], []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q0 = q[0, :, sl].astype(jnp.float32) * sm_scale
+        q1 = q[1, :, sl].astype(jnp.float32) * sm_scale
+        k0 = k[0, :, sl].astype(jnp.float32)
+        k1 = k[1, :, sl].astype(jnp.float32)
+        s00 = jnp.sum(q0 * k0, -1, keepdims=True)    # [rows, 1]
+        s01 = jnp.sum(q0 * k1, -1, keepdims=True)
+        s10 = jnp.sum(q1 * k0, -1, keepdims=True)
+        s11 = jnp.sum(q1 * k1, -1, keepdims=True)
+        # closed-form 2-way softmax weights (per query row)
+        w01 = 1.0 / (1.0 + jnp.exp(s00 - s01))       # sigmoid(s01 - s00)
+        w11 = 1.0 / (1.0 + jnp.exp(s10 - s11))
+        v0 = v[0, :, sl].astype(jnp.float32)
+        v1 = v[1, :, sl].astype(jnp.float32)
+        o0s.append(v0 + w01 * (v1 - v0))             # lerp = p00*v0 + p01*v1
+        o1s.append(v0 + w11 * (v1 - v0))
+    cat = lambda xs: jnp.concatenate(xs, axis=-1) if heads > 1 else xs[0]
+    o_ref[0, 0] = cat(o0s).astype(o_ref.dtype)
+    o_ref[0, 1] = cat(o1s).astype(o_ref.dtype)
+
+
+def _pair_spec(q, k, v, heads, sm_scale):
+    """Einsum spec (CPU/backward path) for the pair-axis layout."""
+    b, s, m, c = q.shape
+    dh = c // heads
+    qs = q.reshape(b, s, m, heads, dh)
+    ks = k.reshape(b, s, m, heads, dh)
+    vs = v.reshape(b, s, m, heads, dh)
+    sc = jnp.einsum("bimhd,bjmhd->bmhij", qs, ks,
+                    preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(sc, axis=-1)
+    o = jnp.einsum("bmhij,bjmhd->bimhd", p.astype(vs.dtype), vs)
+    return o.reshape(b, s, m, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pair_axis_attention(q, k, v, heads: int, sm_scale: float):
+    """Attention across a LEADING pair axis: q/k/v [B, 2, M, C] -> same.
+
+    Each (b, m, head) attends over the 2 entries of axis 1 (the multi-ID
+    axis).  Layout-optimal for tiny S: no [.., S, C] second-minor-padded
+    arrays are ever created (see _pair_kernel note)."""
+    return _pair_impl(q, k, v, heads, sm_scale)
+
+
+def _pair_impl(q, k, v, heads, sm_scale):
+    b, s, m, c = q.shape
+    if s != 2 or jax.devices()[0].platform != "tpu":
+        return _pair_spec(q, k, v, heads, sm_scale)
+    rows = min(1024, max(8, m))
+    spec = pl.BlockSpec((1, 2, rows, c), lambda b_, i: (b_, 0, i, 0))
+    return pl.pallas_call(
+        functools.partial(_pair_kernel, heads=heads, sm_scale=sm_scale),
+        grid=(b, pl.cdiv(m, rows)),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, m, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(q, k, v)
+
+
+def _pair_fwd(q, k, v, heads, sm_scale):
+    return _pair_impl(q, k, v, heads, sm_scale), (q, k, v)
+
+
+def _pair_bwd(heads, sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _pair_spec(q, k, v, heads, sm_scale), q, k, v)
+    return vjp(g)
+
+
+pair_axis_attention.defvjp(_pair_fwd, _pair_bwd)
+
+
 def _tiny_fwd(q, k, v, heads, sm_scale):
     return _tiny_impl(q, k, v, heads, sm_scale), (q, k, v)
 

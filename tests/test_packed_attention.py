@@ -141,3 +141,55 @@ def test_tiny_seq_attention_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_pair_kernel_interpret_matches_spec():
+    """Pair-axis Pallas kernel (interpret) vs the einsum spec, and the spec
+    vs the channel-packed spec on the equivalent transposed layout."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from bindyouravatar_tpu.ops.packed_attention import (_pair_kernel,
+                                                         _pair_spec,
+                                                         _spec_channel)
+
+    b, m, heads, dh = 2, 24, 4, 32
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(6), 3)
+    q, k, v = (jax.random.normal(kk, (b, 2, m, c), jnp.float32) for kk in ks)
+    spec = pl.BlockSpec((1, 2, 8, c), lambda b_, i: (b_, 0, i, 0))
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, heads=heads, sm_scale=dh ** -0.5),
+        grid=(b, m // 8),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, 2, m, c), q.dtype),
+        interpret=True,
+    )(q, k, v)
+    want = _pair_spec(q, k, v, heads, dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # cross-check the spec against the channel-packed spec on [M, S, C]
+    tr = lambda x: x.transpose(0, 2, 1, 3).reshape(b * m, 2, c)
+    want2 = _spec_channel(tr(q), tr(k), tr(v), heads, dh ** -0.5)
+    got2 = tr(want)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pair_axis_attention_grads():
+    from bindyouravatar_tpu.ops.packed_attention import (_pair_spec,
+                                                         pair_axis_attention)
+
+    b, m, heads, dh = 1, 6, 4, 8
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(7), 3)
+    q, k, v = (jax.random.normal(kk, (b, 2, m, c), jnp.float32) for kk in ks)
+    g1 = jax.grad(lambda q, k, v: pair_axis_attention(
+        q, k, v, heads, dh ** -0.5).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: _pair_spec(
+        q, k, v, heads, dh ** -0.5).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-5)

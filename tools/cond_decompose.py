@@ -22,9 +22,8 @@ def run(face: bool, audio: bool):
                     param_dtype=jnp.bfloat16, dtype=jnp.bfloat16)
     dit = DiT.create(cfg)
     shapes = jax.eval_shape(lambda k: dit.init(k), jax.random.key(0))
-    zeros = lambda sub: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sub)
     prep_keys = ("lfe", "audio_statics")
-    params = {k: zeros(v) for k, v in shapes.items() if k not in prep_keys}
+    params = {k: v for k, v in shapes.items() if k not in prep_keys}
 
     b = 1
     t = cfg.latent_frames
@@ -52,7 +51,14 @@ def run(face: bool, audio: bool):
     compiled = (jax.jit(fwd, in_shardings=Format(Layout.AUTO))
                 .lower(*sds).compile())
     fmts, _ = compiled.input_formats
-    args = jax.tree.map(jax.device_put, (params, lat, fe, ac, af), fmts)
+    # materialise each param leaf DIRECTLY into its AUTO format (zeros ->
+    # device_put leaf-by-leaf, same as bench.py): a whole-tree zeros +
+    # whole-tree device_put holds 2x the re-laid-out leaves and OOMs the
+    # 16 GB chip at flagship geometry
+    args = jax.tree.map(
+        lambda s, fmt: jax.device_put(jnp.zeros(s.shape, s.dtype), fmt)
+        if isinstance(s, jax.ShapeDtypeStruct) else jax.device_put(s, fmt),
+        (sds[0], lat, fe, ac, af), fmts)
 
     out = compiled(*args)
     float(out[0, 0, 0, 0, 0])
