@@ -123,10 +123,13 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         k = jnp.where(rows_kd < kv_len, k, jnp.zeros_like(k))
         v = jnp.where(rows_kd < kv_len, v, jnp.zeros_like(v))
 
-    # fold the softmax scale into the [bq, d] q tile — scaling the [bq, bk]
-    # fp32 score tile instead costs a full VPU pass per block (bk/d = 24x
-    # more elements; the kernel is VPU-bound)
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # fold the softmax scale AND log2(e) into the [bq, d] q tile — scaling
+    # the [bq, bk] fp32 score tile instead costs a full VPU pass per block
+    # (bk/d = 24x more elements; the kernel is VPU-bound).  With the log2e
+    # fold the softmax runs in exp2 (what exp lowers to anyway) with zero
+    # per-tile multiplies; the LSE is converted back to nat units at the
+    # cheap [bq, 1] store (same trick as the combined backward kernel).
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
     # (r3, measured: rounding the scores to bf16 after the dot — to halve
     # the softmax passes' VMEM bandwidth — is NOT faster (57.2 vs 56.5 ms)
     # and costs 2.5x output accuracy; Mosaic also requires fp32 matmul acc,
@@ -135,11 +138,11 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
 
-    m_prev = m_ref[:, :1]                      # [bq, 1]
+    m_prev = m_ref[:, :1]                      # [bq, 1] (log2 units)
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)                    # [bq, bk] fp32
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)                   # [bq, bk] fp32
 
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
 
@@ -183,7 +186,9 @@ def _fwd_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         if save_residuals:
             # LSE per row; all-masked (padded-q) rows get +BIG so the
             # backward recompute yields p = exp(s - BIG) = 0
-            m_fin = m_ref[:, :1]
+            # m is in log2 units (q carries the log2e fold); emit the LSE in
+            # NAT units — the fwd<->bwd residual contract is unchanged
+            m_fin = m_ref[:, :1] * (1.0 / LOG2E)
             lse = jnp.where(l_fin == 0.0, -NEG_INF, m_fin + jnp.log(l_fin))
             if lse_compact:
                 # [1, bq] row into the compact [B, H, 1, S] residual (the
@@ -390,7 +395,11 @@ def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
         qt = q_ref[0]                            # [bq, hpb*dh]
         halves = [prep(qt[:, h * dh:(h + 1) * dh], True) for h in range(hpb)]
         qq = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
-        qc_ref[...] = (qq.astype(jnp.float32) * sm_scale).astype(qc_ref.dtype)
+        # scale fold includes log2(e): the softmax below runs in exp2 with
+        # zero per-tile multiplies (exp lowers to exp2+mul anyway); the LSE
+        # converts back to nat units at the [bq, 1]-wide store
+        qc_ref[...] = (qq.astype(jnp.float32)
+                       * (sm_scale * LOG2E)).astype(qc_ref.dtype)
 
     @pl.when(iq == 0)
     def _cache_k():
@@ -422,11 +431,11 @@ def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             preferred_element_type=jnp.float32)  # [bq, bk]
         m_ref = m_refs[h]
         acc_ref = acc_refs[h]
-        m_prev = m_ref[:, :1]
+        m_prev = m_ref[:, :1]                    # (log2 units)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         v_ext = jnp.concatenate([v[:, sl], valid], axis=1)   # [bk, dh+1]
         pv = jax.lax.dot_general(
@@ -455,8 +464,10 @@ def _fwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             rows = []
             for m_ref, acc_ref in zip(m_refs, acc_refs):
                 l_fin = acc_ref[:, dh:dh + 1]
+                # m in log2 units (log2e fold) -> emit NAT-units LSE
                 lse_col = jnp.where(l_fin == 0.0, -NEG_INF,
-                                    m_ref[:, :1] + jnp.log(l_fin))
+                                    m_ref[:, :1] * (1.0 / LOG2E)
+                                    + jnp.log(l_fin))
                 # mask boundary-loaded tail rows (undefined values would
                 # contaminate every lane through the matmul: NaN*0 = NaN)
                 lse_col = jnp.where(q_rows < q_len, lse_col, -NEG_INF)
