@@ -45,15 +45,16 @@ def _kernel(*refs, n_id: int, sm_scale: float, combine: bool):
         q_ref, k_ref, v_ref, o_ref = refs
 
     q = q_ref[0]                                     # [H, R, D]
+    sm2 = sm_scale * 1.4426950408889634   # log2e fold: softmax in exp2
     acc = None
     for i in range(n_id):
         k = k_ref[0, i]                              # [H, K, D]
         v = v_ref[0, i]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * sm_scale    # [H, R, K]
+            preferred_element_type=jnp.float32) * sm2    # [H, R, K]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -79,15 +80,16 @@ def _kernel_qmajor(*refs, n_id: int, sm_scale: float, combine: bool):
         q_ref, k_ref, v_ref, o_ref = refs
 
     q = jnp.swapaxes(q_ref[0], 0, 1)                 # [R, H, D] -> [H, R, D]
+    sm2 = sm_scale * 1.4426950408889634   # log2e fold: softmax in exp2
     acc = None
     for i in range(n_id):
         k = k_ref[0, i]                              # [H, K, D]
         v = v_ref[0, i]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * sm_scale    # [H, R, K]
+            preferred_element_type=jnp.float32) * sm2    # [H, R, K]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),

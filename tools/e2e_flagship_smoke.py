@@ -151,6 +151,27 @@ def main_conditioned(steps: int = 4):
     per_step = (time.time() - t0) / steps
     del lat2
 
+    if "--profile" in sys.argv:
+        # xprof trace of the PIPELINE loop (bench.py's profile covers the
+        # bare fwd; this finds anything the scan adds around it)
+        out = "/tmp/bya_e2e_prof"
+        jax.profiler.start_trace(out)
+        lat3, _ = compiled(params, *args)
+        _ = float(lat3[0, 0, 0, 0, 0])
+        jax.profiler.stop_trace()
+        del lat3
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_step import parse_opstats   # tools/ sibling
+        rows = parse_opstats(out, 40)
+        total = sum(r["total_self_time"] for r in rows)
+        for r in rows:
+            print(f"{r['total_self_time']:>10.0f} "
+                  f"{100 * r['total_self_time'] / total:>6.1f} "
+                  f"{round(r.get('measured_memory_bw') or 0):>7} "
+                  f"{round(r.get('model_flop_rate') or 0):>9} "
+                  f"{str(r.get('operation', '?'))[:90]}", flush=True)
+
     # free the DiT params before decode (reference offloads, pipeline:965)
     for leaf in jax.tree.leaves(params):
         leaf.delete()
