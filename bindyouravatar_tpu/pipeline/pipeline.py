@@ -66,6 +66,15 @@ class BindYourAvatarPipeline:
     def create(cls, dit: DiT, vae: CausalVAE,
                cfg: PipelineConfig = PipelineConfig(),
                sched_cfg: SchedulerConfig = SchedulerConfig()) -> "BindYourAvatarPipeline":
+        # the pipeline only ever FORWARDS the DiT (denoise loop, validation),
+        # so enable the flat fused-QK-LN flash path (inference-only — it has
+        # no VJP; the param tree is identical, see `_Affine`).  Without this
+        # the loop takes the bshd branch: out-of-kernel QK-LN converts +
+        # [B,S,H,D] layout slices, chip-measured +0.42 s/step on the 42L
+        # loop (runs/chip_r4/e2e_prof.log: to_v at 55 GB/s vs 113).
+        if dit.cfg.qk_norm and not dit.cfg.fuse_qk_norm:
+            dit = dataclasses.replace(
+                dit, cfg=dataclasses.replace(dit.cfg, fuse_qk_norm=True))
         return cls(dit=dit, vae=vae, schedule=Schedule.create(sched_cfg), cfg=cfg)
 
     # ------------------------------------------------------------------ #
