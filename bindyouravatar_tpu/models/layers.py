@@ -217,12 +217,18 @@ class JointSelfAttention(nn.Module):
             # tile — unlike the reverted per-grid-step fusion, +26 ms/call)
             q = with_lora("to_q", dense("to_q")(x))
             k = with_lora("to_k", dense("to_k")(x))
-            v = dense("to_v")(x)
+            # to_v emits V TRANSPOSED ([B, H*D, S]): the swapaxes fuses into
+            # the dot's epilogue, and the transposed-PV flash kernel then
+            # runs both its matmuls at full MXU width (chip A/B 53.9 ->
+            # 45.5 ms/call, runs/chip_r4/flat_t.log).  Param tree is the
+            # plain nn.Dense("to_v") — importers/checkpoints unchanged.
             qs_, qb_ = _Affine(self.head_dim, self.param_dtype, name="norm_q")()
             ks_, kb_ = _Affine(self.head_dim, self.param_dtype, name="norm_k")()
-            o = attention(q, k, v, use_flash=True, kv_len=s_real,
+            vt = jnp.swapaxes(dense("to_v")(x), 1, 2)
+            o = attention(q, k, vt, use_flash=True, kv_len=s_real,
                           rope=rope, rope_start=text_len, layout="flat",
-                          heads=self.heads, qk_norm=(qs_, qb_, ks_, kb_))
+                          heads=self.heads, qk_norm=(qs_, qb_, ks_, kb_),
+                          v_transposed=True)
             o = o[:, :s_real]
             o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias,
                          dtype=self.dtype, param_dtype=self.param_dtype,

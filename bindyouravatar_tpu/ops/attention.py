@@ -128,6 +128,7 @@ def attention(
     layout: str = "bhsd",
     qk_norm=None,
     heads=None,
+    v_transposed: bool = False,
 ) -> jnp.ndarray:
     """Self/cross attention over [B, H, S, D], [B, S, H, D], or flat
     [B, S, H*D] (`layout="flat"`, pass `heads`) tensors.
@@ -145,7 +146,10 @@ def attention(
 
         return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
                                rope=rope, rope_start=rope_start, layout=layout,
-                               qk_norm=qk_norm, heads=heads)
+                               qk_norm=qk_norm, heads=heads,
+                               v_transposed=v_transposed)
+    if v_transposed:          # SDPA fallback: restore [B, S, H*D]
+        v = jnp.swapaxes(v, 1, 2)
     if layout == "flat":
         b, s, hd = q.shape
         d = hd // heads

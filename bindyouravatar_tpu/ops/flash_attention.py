@@ -555,6 +555,196 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
     return res[0]
 
 
+def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+                       num_kv_blocks: int, need_mask: bool, has_rope: bool,
+                       has_qk_norm: bool, dh: int, hpb: int):
+    """Transposed-PV flat forward (inference).
+
+    Layout rationale (measured, runs/chip_r4): both matmuls of the regular
+    flat kernel are HALF-RATE on the MXU — QK^T contracts over d=64 (half
+    the 128-deep systolic contraction) and PV emits only dh+1=65 output
+    lanes (half the 128-wide output tile).  Here the score tile is computed
+    TRANSPOSED (st = k q^T, [bk, bq] — same trick the combined backward
+    kernel uses) so PV becomes
+
+        acc_t[d, q] += sum_k vt[d, k] * p_t[k, q]      # N = block_q lanes
+
+    a full-width NN matmul (~2x PV rate).  V arrives pre-transposed as
+    [B, H*D, S] — the caller's to_v matmul emits that layout for free
+    (einsum output ordering), so no HBM transpose pass exists anywhere.
+    Softmax stats live as [1, bq] lane rows (broadcast along sublanes is
+    free); the final store rotates [dh, bq] -> [bq, dh] with an eye matmul
+    (~1.4% of the kernel's FLOPs, exact).
+    """
+    refs = list(refs)
+    q_ref, k_ref, vt_ref = refs[:3]
+    refs = refs[3:]
+    if has_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[:4]
+        refs = refs[4:]
+    if has_qk_norm:
+        qs_ref, qb_ref, ks_ref, kb_ref = refs[:4]
+        refs = refs[4:]
+    o_ref = refs[0]
+    refs = refs[1:]
+    qc_ref, kc_ref = refs[:2]
+    m_refs = refs[2:2 + hpb]
+    acc_refs = refs[2 + hpb:2 + 2 * hpb]
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    def prep(x, is_q):
+        if has_qk_norm:
+            sc, bi = (qs_ref, qb_ref) if is_q else (ks_ref, kb_ref)
+            x = _layernorm_tile(x, sc, bi).astype(x.dtype)
+        if has_rope:
+            cos, sin = (cq_ref, sq_ref) if is_q else (ck_ref, sk_ref)
+            x = _rope_tile(x, cos[...], sin[...])
+        return x
+
+    @pl.when(ik == 0)
+    def _init():
+        for mr, ar in zip(m_refs, acc_refs):
+            mr[...] = jnp.full_like(mr, NEG_INF)
+            ar[...] = jnp.zeros_like(ar)
+        qt = q_ref[0]                            # [bq, hpb*dh]
+        halves = [prep(qt[:, h * dh:(h + 1) * dh], True) for h in range(hpb)]
+        qq = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
+        qc_ref[...] = (qq.astype(jnp.float32)
+                       * (sm_scale * LOG2E)).astype(qc_ref.dtype)
+
+    @pl.when(iq == 0)
+    def _cache_k():
+        kt = k_ref[0]                            # [bk, hpb*dh]
+        halves = [prep(kt[:, h * dh:(h + 1) * dh], False) for h in range(hpb)]
+        kk = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
+        if need_mask:
+            rows = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, kk.shape, 0)
+            kk = jnp.where(rows < kv_len, kk, jnp.zeros_like(kk))
+        kc_ref[pl.ds(ik * block_k, block_k), :] = kk.astype(kc_ref.dtype)
+
+    vt = vt_ref[0]                               # [hpb*dh, bk]
+    if need_mask:
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, vt.shape, 1)
+        vt = jnp.where(cols < kv_len, vt, jnp.zeros_like(vt))
+        crow = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, vt.shape[1]), 1)
+        valid = (crow < kv_len).astype(vt.dtype)     # [1, bk] ones row
+    else:
+        valid = jnp.ones((1, vt.shape[1]), vt.dtype)
+
+    kblk = kc_ref[pl.ds(ik * block_k, block_k), :]
+    qall = qc_ref[...]
+    for h in range(hpb):
+        sl = slice(h * dh, (h + 1) * dh)
+        st = jax.lax.dot_general(
+            kblk[:, sl], qall[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, bq]
+        m_ref = m_refs[h]
+        acc_ref = acc_refs[h]
+        m_prev = m_ref[:1, :]                    # [1, bq] (log2 units)
+        m_curr = jnp.max(st, axis=0, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p_t = jnp.exp2(st - m_next)              # [bk, bq]
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        # ones-row rides the matmul: acc row dh accumulates l = sum_k p
+        vt_ext = jnp.concatenate([vt[sl], valid], axis=0)    # [dh+1, bk]
+        pv = jax.lax.dot_general(
+            vt_ext, p_t.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [dh+1, bq]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _store():
+        bq = qc_ref.shape[0]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
+               ).astype(o_ref.dtype)
+        outs = []
+        for acc_ref in acc_refs:
+            l_fin = acc_ref[dh:dh + 1, :]        # [1, bq]
+            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            xs = (acc_ref[:dh, :] * inv).astype(o_ref.dtype)   # [dh, bq]
+            # MXU rotate [dh, bq] -> [bq, dh]: eye is 0/1 so the product
+            # is exact in the fp32 accumulator
+            outs.append(jax.lax.dot_general(
+                eye, xs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
+                     kv_len: int, block_q: int, block_k: int,
+                     interpret: bool, qk_norm=None):
+    """q/k: [B, S, H*D] flat; vt: [B, H*D, S] (pre-transposed V).
+    Returns [B, S, H*D].  Inference-only (no VJP)."""
+    b, s, hd = q.shape
+    d = hd // heads
+    hpb = max(1, LANES // d)                     # heads per 128-lane block
+    assert heads % hpb == 0 and (hpb * d) % LANES == 0, (heads, d)
+    assert vt.shape == (b, hd, s), vt.shape
+    nq = pl.cdiv(s, block_q)
+    nk = pl.cdiv(s, block_k)
+    has_rope = rope is not None
+
+    kernel = functools.partial(
+        _fwd_flat_t_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
+        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
+
+    dpair = hpb * d
+    qi = lambda b_, hp, iq, ik: (b_, iq, hp)
+    ki = lambda b_, hp, iq, ik: (b_, ik, hp)
+    vi = lambda b_, hp, iq, ik: (b_, hp, ik)
+    rq = lambda b_, hp, iq, ik: (iq, 0)
+    rk = lambda b_, hp, iq, ik: (ik, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dpair), qi),
+        pl.BlockSpec((1, block_k, dpair), ki),
+        pl.BlockSpec((1, dpair, block_k), vi),
+    ]
+    inputs = [q, k, vt]
+    if has_rope:
+        cos, sin = rope
+        in_specs += [pl.BlockSpec((block_q, d), rq),
+                     pl.BlockSpec((block_q, d), rq),
+                     pl.BlockSpec((block_k, d), rk),
+                     pl.BlockSpec((block_k, d), rk)]
+        inputs += [cos, sin, cos, sin]
+    if qk_norm is not None:
+        aff_spec = pl.BlockSpec((1, d), lambda *idx: (0, 0))
+        for a in qk_norm:   # (q_scale, q_bias, k_scale, k_bias), each [d]
+            inputs.append(a.astype(jnp.float32).reshape(1, d))
+            in_specs.append(aff_spec)
+
+    scratch = [
+        pltpu.VMEM((block_q, dpair), q.dtype),           # qc (LN+rope+scale)
+        pltpu.VMEM((nk * block_k, dpair), k.dtype),      # kc (whole-seq K)
+    ]
+    scratch += [pltpu.VMEM((8, block_q), jnp.float32)] * hpb       # m rows
+    scratch += [pltpu.VMEM((d + 1, block_q), jnp.float32)] * hpb   # acc|l
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        grid=(b, heads // hpb, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dpair), qi),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
 # --------------------------------------------------------------------------
 # Pallas backward kernels (dkv and dq)
 # --------------------------------------------------------------------------
@@ -1220,6 +1410,7 @@ def flash_attention(
     qk_norm: Optional[Tuple[jnp.ndarray, jnp.ndarray,
                             jnp.ndarray, jnp.ndarray]] = None,
     heads: Optional[int] = None,
+    v_transposed: bool = False,
 ) -> jnp.ndarray:
     """Flash attention (self-attention, non-causal).
 
@@ -1242,6 +1433,9 @@ def flash_attention(
         # [B, S, H*D] end to end: no [B,S,H,D] (lane-padded) or [B,H,S,D]
         # (transposed) arrays ever hit HBM; LN/RoPE run in-kernel.
         # Inference-only (no custom_vjp on this path).
+        # `v_transposed`: v arrives as [B, H*D, S] (the to_v matmul can emit
+        # that layout for free) and the transposed-PV kernel runs both its
+        # matmuls at full MXU width — see _fwd_flat_t_kernel.
         assert heads is not None, "layout='flat' requires heads"
         b, s, hd = q.shape
         d = hd // heads
@@ -1265,6 +1459,8 @@ def flash_attention(
         if interpret is None and not on_tpu:
             # XLA fallback (CPU test meshes): reshape to bhsd, reuse the
             # fallback path below via a recursive call
+            if v_transposed:
+                v = jnp.swapaxes(v, 1, 2)
             qb = q.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
             kb = k.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
             vb = v.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
@@ -1277,13 +1473,17 @@ def flash_attention(
         bk = min(block_k, 1536 if cos is not None else block_k, s128)
         if bq % bk:
             bk = bq
+        rope_t = None if cos is None else (cos, sin)
+        if v_transposed:
+            return _fwd_flat_t_impl(q, k, v, heads, rope_t, float(scale),
+                                    int(kv_len), int(bq), int(bk),
+                                    bool(interpret), qk_norm=qk_norm)
         if cos is None and qk_norm is None:
             # bare flat attention (router STAB spatial): differentiable —
             # forward is the flat kernel, backward the chunked recompute on
             # bhsd views (training-only transposes)
             return _flash_flat(q, k, v, heads, float(scale), int(kv_len),
                                int(bq), int(bk), bool(interpret))
-        rope_t = None if cos is None else (cos, sin)
         return _fwd_flat_impl(q, k, v, heads, rope_t, float(scale),
                               int(kv_len), int(bq), int(bk),
                               bool(interpret), qk_norm=qk_norm)

@@ -477,6 +477,49 @@ def test_flash_flat_layout_matches_bhsd():
                                np.asarray(want[:, :kv]), atol=2e-5)
 
 
+def test_flash_flat_transposed_v_matches_flat():
+    """Transposed-PV flat kernel (v as [B, H*D, S], full-MXU-width PV,
+    eye-matmul output rotate) == the regular flat kernel, interpret mode,
+    kv tail masked, LN + RoPE fused."""
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+    from bindyouravatar_tpu.ops.rope import get_3d_rotary_pos_embed
+
+    b, h, d = 1, 4, 64
+    text_len = 8
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s_real = text_len + cos.shape[0]              # 248
+    s = 256
+    kv = s_real
+    ks_ = jax.random.split(jax.random.key(11), 7)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, s, h * d), jnp.float32)
+    qs = 1.0 + 0.1 * jax.random.normal(ks_[3], (d,))
+    qb = 0.1 * jax.random.normal(ks_[4], (d,))
+    ksc = 1.0 + 0.1 * jax.random.normal(ks_[5], (d,))
+    kb = 0.1 * jax.random.normal(ks_[6], (d,))
+
+    want = flash_attention(q, k, v, kv_len=kv, rope=(cos, sin),
+                           rope_start=text_len, layout="flat", heads=h,
+                           qk_norm=(qs, qb, ksc, kb),
+                           block_q=128, block_k=128, interpret=True)
+    got = flash_attention(q, k, jnp.swapaxes(v, 1, 2), kv_len=kv,
+                          rope=(cos, sin), rope_start=text_len,
+                          layout="flat", heads=h, v_transposed=True,
+                          qk_norm=(qs, qb, ksc, kb),
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[:, :kv]),
+                               np.asarray(want[:, :kv]), atol=2e-5)
+    # bare path (no LN/rope) + CPU dispatch of the v_transposed flag
+    want2 = flash_attention(q, k, v, kv_len=kv, layout="flat", heads=h,
+                            block_q=128, block_k=128, interpret=True)
+    got2 = flash_attention(q, k, jnp.swapaxes(v, 1, 2), kv_len=kv,
+                           layout="flat", heads=h, v_transposed=True,
+                           block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2[:, :kv]),
+                               np.asarray(want2[:, :kv]), atol=2e-5)
+
+
 def test_flash_flat_no_norm_no_rope():
     """Flat kernel bare path (no LN, no rope), non-dividing kv tail."""
     from bindyouravatar_tpu.ops.flash_attention import flash_attention
