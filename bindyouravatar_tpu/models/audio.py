@@ -144,7 +144,11 @@ class AudioCrossAttnLayer(nn.Module):
         nh = c.num_attention_heads
         inner = nh * dh
 
+        from ..parallel.mesh import constrain_batch
+
+        video = constrain_batch(video)
         q_in = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm_q")(video)
+        q_in = constrain_batch(q_in)
         q = nn.Dense(inner, use_bias=True, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_q")(q_in)
         k = nn.Dense(inner, use_bias=True, dtype=self.dtype,

@@ -66,14 +66,25 @@ class PerceiverCrossAttention(nn.Module):
         s = video_tokens.shape[1]
         inner = self.dim_head * self.heads
 
+        from ..parallel.mesh import constrain_batch
+
         x = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm1")(face_tokens)
         lat = LayerNorm(param_dtype=self.param_dtype, fused=True, name="norm2")(video_tokens)
+        x = constrain_batch(x)
 
         q_flat = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="to_q")(lat)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="to_kv")(x)
-        k_flat, v_flat = jnp.split(kv, 2, axis=-1)
+        # separate k/v dots (the reference fuses them into one to_kv linear,
+        # `router.py:223`; the importer splits that weight).  Fused + split
+        # makes the SPMD partitioner involuntarily rematerialize the split's
+        # cotangent concatenate under FSDP (it can't reshard batch-sharded ->
+        # feature-sharded efficiently); two dots have no concat at all.
+        k_flat = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="to_k")(x)
+        v_flat = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="to_v")(x)
+        k_flat = constrain_batch(k_flat)
+        v_flat = constrain_batch(v_flat)
 
         q = q_flat.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k_flat.reshape(b, n_id, n_tok, self.heads,

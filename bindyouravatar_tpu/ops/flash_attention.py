@@ -555,7 +555,8 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
     return res[0]
 
 
-def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
+def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
+                       need_q_mask: bool, block_k: int,
                        num_kv_blocks: int, need_mask: bool, has_rope: bool,
                        has_qk_norm: bool, dh: int, hpb: int):
     """Transposed-PV flat forward (inference).
@@ -609,6 +610,15 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_k: int,
             mr[...] = jnp.full_like(mr, NEG_INF)
             ar[...] = jnp.zeros_like(ar)
         qt = q_ref[0]                            # [bq, hpb*dh]
+        if need_q_mask:
+            # boundary-block q rows past the sequence are UNDEFINED loads
+            # (NaN in interpret mode) — select them to zero BEFORE the
+            # LN/rope prep, else the _store eye matmul mixes 0*NaN into
+            # EVERY valid row of the block (ADVICE r4 high: non-dividing
+            # s returned NaN across the whole boundary block)
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, qt.shape, 0)
+            qt = jnp.where(rows < kv_len, qt, jnp.zeros_like(qt))
         halves = [prep(qt[:, h * dh:(h + 1) * dh], True) for h in range(hpb)]
         qq = jnp.concatenate(halves, axis=1) if hpb > 1 else halves[0]
         qc_ref[...] = (qq.astype(jnp.float32)
@@ -694,6 +704,7 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
 
     kernel = functools.partial(
         _fwd_flat_t_kernel, sm_scale=sm_scale, kv_len=kv_len,
+        block_q=block_q, need_q_mask=kv_len < nq * block_q,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
         has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
 
@@ -1069,8 +1080,12 @@ def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
 
     in_specs = [full_spec] * 4 + [row_spec, row_spec]
     # exp2 fold: lse pre-multiplied by log2(e) so the kernel's p^T needs no
-    # per-tile multiply (the padded-row fill -NEG_INF stays huge-positive)
-    inputs = [q, k, v, do, lse_c * LOG2E, delta_c]
+    # per-tile multiply.  Clamp first: the padded-row fill is -NEG_INF
+    # (+3.4e38) and *LOG2E would overflow fp32 to +inf — exp2(finite - inf)
+    # is still 0, but any future padded-stat arithmetic (inf - inf) would
+    # silently NaN (ADVICE r4 low), so keep the fill finite-huge instead.
+    inputs = [q, k, v, do,
+              jnp.minimum(lse_c, -NEG_INF / LOG2E) * LOG2E, delta_c]
     scratch = [pltpu.VMEM((s_pad, dpair), q.dtype)]            # qs (scaled q)
     if has_rope:
         cos, sin = _pad_rope(rope, s_pad)

@@ -55,7 +55,11 @@ def fused_layernorm(x, scale, bias, eps: float = 1e-5):
 
 def _ln_impl(x, scale, bias, eps):
     d = x.shape[-1]
-    if (jax.devices()[0].platform != "tpu" or d % 128
+    # dispatch on the process default backend at trace time (ADVICE r4 low:
+    # this is a documented project invariant — every process here runs a
+    # single platform, forced in conftest/bench; jax.default_backend() is
+    # the canonical spelling and tracks the same config)
+    if (jax.default_backend() != "tpu" or d % 128
             or x.ndim < 2 or x.dtype == jnp.float64):
         return _ln_ref(x, scale, bias, eps)
     shape = x.shape

@@ -57,5 +57,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))
 
 
+def constrain_batch(x):
+    """Pin an activation — and, because with_sharding_constraint is its own
+    transpose, its COTANGENT — to batch sharding over (dp, fsdp).
+
+    Under a dp x fsdp mesh GSPMD sometimes computes an FSDP-sharded weight
+    gradient by resharding the activation cotangent batch->feature; that
+    reshard crosses transposed mesh axes ([dp,fsdp] -> [fsdp]x[dp]-replicated)
+    which no single collective expresses, so the partitioner falls back to
+    "involuntary full rematerialization" (observed on the perceiver k/v
+    cotangents and the audio norm_q cotangent in the 42L FSDP train step).
+    Constraining the cotangent to batch sharding forces the batch-local
+    partial-dW + reduce-scatter strategy instead.
+
+    No-op unless an ambient mesh with (dp, fsdp) axes is set via
+    `jax.set_mesh` (see Trainer.jit_train_step(mesh=...)), so inference
+    paths and meshless tests are untouched.
+    """
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if (m is None or getattr(m, "empty", True)
+                or AXIS_DATA not in m.axis_names
+                or AXIS_FSDP not in m.axis_names):
+            return x
+    except Exception:       # noqa: BLE001 — older jax: no ambient mesh API
+        return x
+    spec = P(*([(AXIS_DATA, AXIS_FSDP)] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

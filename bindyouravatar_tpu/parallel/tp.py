@@ -24,7 +24,8 @@ _COL = {  # shard output features (last dim)
     "attn1/to_q/kernel", "attn1/to_k/kernel", "attn1/to_v/kernel",
     "attn1/to_q/bias", "attn1/to_k/bias", "attn1/to_v/bias",
     "ff/net_0/kernel", "ff/net_0/bias",
-    "to_q/kernel", "to_kv/kernel",           # perceiver
+    "to_q/kernel", "to_kv/kernel",           # perceiver/lfe
+    "to_k/kernel", "to_v/kernel",
     "w1/kernel", "w2/kernel", "w1/bias", "w2/bias",  # eva swiglu (if reused)
 }
 _ROW = {  # shard input features (second-to-last dim of the kernel)

@@ -147,11 +147,17 @@ def import_face_modules(sd_or_path) -> Dict[str, Any]:
 
     pcas = []
     for sd in pca_sds:
+        # the reference fuses k/v into one to_kv linear (router.py:223);
+        # our PerceiverCrossAttention uses separate to_k/to_v dots (SPMD
+        # concat-cotangent fix) — split the weight rows exactly
+        kv_kernel = _lin(sd, "to_kv")["kernel"]          # [kv_dim, inner*2]
+        k_kernel, v_kernel = np.split(kv_kernel, 2, axis=-1)
         pcas.append({
             "norm1": _ln(sd, "norm1"),
             "norm2": _ln(sd, "norm2"),
             "to_q": _lin(sd, "to_q"),
-            "to_kv": _lin(sd, "to_kv"),
+            "to_k": {"kernel": k_kernel},
+            "to_v": {"kernel": v_kernel},
             "to_out": _lin(sd, "to_out"),
         })
     out = {"lfe": lfe}

@@ -130,6 +130,22 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Optional[Dict[str, Any]] = None
 
 
+class _MeshBoundStep:
+    """A jitted step whose tracing/lowering runs under `jax.set_mesh(mesh)`
+    so spec-only sharding constraints inside the model resolve."""
+
+    def __init__(self, fn, mesh):
+        self._fn, self._mesh = fn, mesh
+
+    def __call__(self, *args, **kwargs):
+        with jax.set_mesh(self._mesh):
+            return self._fn(*args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        with jax.set_mesh(self._mesh):
+            return self._fn.lower(*args, **kwargs)
+
+
 @dataclasses.dataclass(frozen=True)
 class Trainer:
     dit: DiT
@@ -299,11 +315,19 @@ class Trainer:
                           opt_state=new_opt, ema_params=ema), metrics
 
     # ------------------------------------------------------------------ #
-    def jit_train_step(self):
+    def jit_train_step(self, mesh=None):
         """Jitted step; shardings propagate from the placed inputs
         (state/frozen placed by `init_state(mesh=...)`, batch by
-        `place_batch`).  Donates the state buffers."""
-        return jax.jit(self.train_step, donate_argnums=(0,))
+        `place_batch`).  Donates the state buffers.
+
+        Pass the mesh to trace under `jax.set_mesh` so the model's
+        `constrain_batch` cotangent pins activate (kills GSPMD's involuntary
+        full rematerialization on dp x fsdp meshes — see
+        parallel.mesh.constrain_batch)."""
+        step = jax.jit(self.train_step, donate_argnums=(0,))
+        if mesh is None:
+            return step
+        return _MeshBoundStep(step, mesh)
 
     @staticmethod
     def place_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:

@@ -518,6 +518,21 @@ def test_flash_flat_transposed_v_matches_flat():
                            block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got2[:, :kv]),
                                np.asarray(want2[:, :kv]), atol=2e-5)
+    # non-dividing Q grid (ADVICE r4 high): s % block_q != 0 leaves the
+    # boundary block's padded q rows as UNDEFINED loads; unmasked, the
+    # _store eye-matmul rotate mixed 0*NaN into every valid row of that
+    # block.  s=320 / blocks 128 reproduces it exactly.
+    s3 = 320
+    q3 = jax.random.normal(ks_[3], (b, s3, h * d), jnp.float32)
+    k3 = jax.random.normal(ks_[4], (b, s3, h * d), jnp.float32)
+    v3 = jax.random.normal(ks_[5], (b, s3, h * d), jnp.float32)
+    want3 = flash_attention(q3, k3, v3, kv_len=s3, layout="flat", heads=h,
+                            block_q=128, block_k=128, interpret=True)
+    got3 = flash_attention(q3, k3, jnp.swapaxes(v3, 1, 2), kv_len=s3,
+                           layout="flat", heads=h, v_transposed=True,
+                           block_q=128, block_k=128, interpret=True)
+    assert np.isfinite(np.asarray(got3)).all(), "NaN in transposed-PV output"
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want3), atol=2e-5)
 
 
 def test_flash_flat_no_norm_no_rope():

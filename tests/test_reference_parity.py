@@ -98,10 +98,12 @@ def test_perceiver_cross_attention_parity():
     from bindyouravatar_tpu.models.router import PerceiverCrossAttention
 
     sd = _sd(ref)
+    kv_kernel = imp._lin(sd, "to_kv", bias=False)["kernel"]
+    k_kernel, v_kernel = np.split(kv_kernel, 2, axis=-1)
     params = {
         "norm1": imp._ln(sd, "norm1"), "norm2": imp._ln(sd, "norm2"),
         "to_q": imp._lin(sd, "to_q", bias=False),
-        "to_kv": imp._lin(sd, "to_kv", bias=False),
+        "to_k": {"kernel": k_kernel}, "to_v": {"kernel": v_kernel},
         "to_out": imp._lin(sd, "to_out", bias=False),
     }
     mod = PerceiverCrossAttention(dim=dim, dim_head=dh, heads=heads,
