@@ -308,12 +308,80 @@ def _pair_bwd(heads, sm_scale, res, g):
 pair_axis_attention.defvjp(_pair_fwd, _pair_bwd)
 
 
+def _slice_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                      heads: int, sm_scale: float):
+    """Backward of `_slice_kernel`: per-head lane-sliced score recompute +
+    the standard softmax VJP, everything in VMEM.  The einsum backward's
+    fp32 [M, H, S, S] score/ds tensors tile (13, 13) -> (16, 128) in HBM —
+    a 12.1x padding blowup that was the #2 HBM temp of the depth-14
+    single-chip train step (runs/chip_r4/depth14.log items 4/5/7)."""
+    r, s, c = q_ref.shape
+    dh = c // heads
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        sc = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale      # [R, S, S]
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        gh = g[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl].astype(jnp.float32)
+        dv = jax.lax.dot_general(                                # rab,rad->rbd
+            p, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                                # rad,rbd->rab
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * sm_scale
+        dq = jax.lax.dot_general(                                # rab,rbd->rad
+            ds, k[:, :, sl].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(                                # rab,rad->rbd
+            ds, q[:, :, sl].astype(jnp.float32),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dq_ref[...] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+def _tiny_bwd_pallas(q, k, v, g, heads, sm_scale, interpret=False):
+    m, s, c = q.shape
+    rows = max(8, min(128, 2 ** 19 // (s * c)) // 8 * 8)
+    rows = min(rows, max(8, m))
+    spec = pl.BlockSpec((rows, s, c), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_slice_bwd_kernel, heads=heads, sm_scale=sm_scale),
+        grid=(pl.cdiv(m, rows),),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((m, s, c), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, g)
+
+
 def _tiny_fwd(q, k, v, heads, sm_scale):
     return _tiny_impl(q, k, v, heads, sm_scale), (q, k, v)
 
 
 def _tiny_bwd(heads, sm_scale, res, g):
     q, k, v = res
+    s = q.shape[1]
+    if jax.default_backend() == "tpu" and s >= 8:
+        return _tiny_bwd_pallas(q, k, v, g, heads, sm_scale)
     _, vjp = jax.vjp(
         lambda q, k, v: _spec_channel(q, k, v, heads, sm_scale), q, k, v)
     return vjp(g)

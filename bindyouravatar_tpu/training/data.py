@@ -156,6 +156,16 @@ def af_matrix_from_speaker(speaker_is_left: bool, num_ids: int = 2) -> np.ndarra
     return eye if speaker_is_left else 1.0 - eye
 
 
+def maybe_drop_text(prompt: str, ratio: float, rng=None) -> str:
+    """Text-prompt dropout (reference `models/dataloader.py:995-996`): with
+    probability `ratio` the caption is replaced by '' so the model sees an
+    unconditional text branch during training.  Default 0.0 (off), matching
+    the reference's shipped default."""
+    if ratio > 0 and float((rng or np.random).random()) < ratio:
+        return ""
+    return prompt
+
+
 # ------------------------------------------------------------------ #
 # datasets
 # ------------------------------------------------------------------ #
@@ -182,6 +192,7 @@ class AvatarVideoDataset:
     num_ids: int = 2
     error_log: Optional[str] = "error_log.txt"
     max_retries: int = 8
+    text_drop_ratio: float = 0.0
 
     def __post_init__(self):
         self.rows: List[Tuple[str, str, str]] = []
@@ -217,7 +228,7 @@ class AvatarVideoDataset:
         with open(anno_json) as f:
             anno = json.load(f)
         video_path = os.path.join(video_root, anno["video"])
-        prompt = anno.get("caption", "")
+        prompt = maybe_drop_text(anno.get("caption", ""), self.text_drop_ratio)
         valid = anno.get("valid_frames")
         start = int(valid[0]) if valid else 0
         indices = list(range(start, start + self.num_frames))
@@ -341,6 +352,7 @@ class ReferenceLayoutDataset:
     error_log: Optional[str] = "error_log.txt"
     max_retries: int = 8
     seed: int = 0
+    text_drop_ratio: float = 0.0
 
     def __post_init__(self):
         self.samples: List[Dict[str, Any]] = []
@@ -465,7 +477,8 @@ class ReferenceLayoutDataset:
                     masks=np.stack(masks), dense_mask=dense, audio=audio,
                     af_matrix=af_matrix_from_speaker(s["speaker"] == "left",
                                                      self.num_ids),
-                    prompt=s["cap"], single_face=single_face)
+                    prompt=maybe_drop_text(s["cap"], self.text_drop_ratio),
+                    single_face=single_face)
 
 
 @dataclasses.dataclass

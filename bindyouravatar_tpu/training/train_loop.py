@@ -208,14 +208,20 @@ class TrainDriver:
             sampler.load_state_dict(
                 jax.tree.map(lambda x: int(np.asarray(x)), payload["sampler"]))
             start_step = int(jax.device_get(state.step))
-            print(f"[resume] restored step {start_step}")
+            # LR override on resume (reference train.py:909-921): the LR is
+            # NOT part of the restored opt_state — it's the cfg schedule the
+            # fresh optimizer closes over — so the configured learning_rate
+            # applies from the next step while moments/counters resume.
+            print(f"[resume] restored step {start_step}; applying "
+                  f"learning_rate={cfg.learning_rate} over restored "
+                  f"optimizer state")
 
         # one optimizer step consumes grad_accum_steps micro-batches
         # (reference: accelerator.accumulate over successive loader batches,
         # sft.sh accum 2) — the jitted step scans over them internally
         loader = PrefetchLoader(dataset, sampler,
                                 batch_size * max(1, cfg.grad_accum_steps))
-        step_fn = self.trainer.jit_train_step()
+        step_fn = self.trainer.jit_train_step(mesh=self.mesh)
         rng_np = np.random.default_rng(cfg.seed + start_step)
         key = jax.random.key(cfg.seed)
         total = max_steps or cfg.max_train_steps

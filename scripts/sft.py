@@ -26,7 +26,12 @@ def get_args(argv=None):
     p.add_argument("--model_size", choices=["tiny", "5b"], default="tiny")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=10000)
-    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--learning_rate", type=float, default=1e-5,
+                   help="on --resume this OVERRIDES the stored LR while "
+                        "keeping optimizer state (reference train.py:909-921)")
+    p.add_argument("--text_drop_ratio", type=float, default=0.0,
+                   help="prob of training with an empty caption "
+                        "(reference dataloader.py:995-996, default off)")
     p.add_argument("--optimizer", choices=["adamw", "adafactor", "prodigy"],
                    default="adamw")
     p.add_argument("--prodigy_beta3", type=float, default=None)
@@ -138,7 +143,8 @@ def main(argv=None):
 
     c = dit.cfg
     if args.index_file:
-        dataset = AvatarVideoDataset(args.index_file, num_frames=c.sample_frames)
+        dataset = AvatarVideoDataset(args.index_file, num_frames=c.sample_frames,
+                                     text_drop_ratio=args.text_drop_ratio)
     else:
         dataset = SyntheticAvatarDataset(
             length=64, num_frames=c.sample_frames,

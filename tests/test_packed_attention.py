@@ -143,6 +143,25 @@ def test_tiny_seq_attention_grads():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_slice_bwd_kernel_interpret_matches_spec():
+    """Pallas backward of the lane-sliced tiny-seq attention (interpret
+    mode) vs the einsum-spec VJP — incl. a non-dividing row grid."""
+    from bindyouravatar_tpu.ops.packed_attention import (_spec_channel,
+                                                         _tiny_bwd_pallas)
+
+    m, s, heads, dh = 132, 13, 4, 32      # 132 % 128 != 0: boundary block
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(6), 4)
+    q, k, v, g = (jax.random.normal(kk, (m, s, c), jnp.float32) for kk in ks)
+    got = _tiny_bwd_pallas(q, k, v, g, heads, dh ** -0.5, interpret=True)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _spec_channel(q, k, v, heads, dh ** -0.5), q, k, v)
+    want = vjp(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_pair_kernel_interpret_matches_spec():
     """Pair-axis Pallas kernel (interpret) vs the einsum spec, and the spec
     vs the channel-packed spec on the equivalent transposed layout."""

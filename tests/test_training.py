@@ -212,6 +212,61 @@ def test_diff_lr_groups():
     assert up_high > 50 * up_low
 
 
+def test_lr_override_on_resume():
+    """Reference train.py:909-921: resuming applies the CLI learning_rate to
+    the restored optimizer (param_groups['lr'] + scheduler base_lrs are
+    overwritten) while the moments/counters continue.  Our LR is a cfg
+    schedule closed over by a fresh `make_optimizer`, never part of
+    opt_state — so updates from the SAME restored state must scale exactly
+    with the new configured LR."""
+    import dataclasses
+
+    from bindyouravatar_tpu.training.trainer import make_optimizer, partition_params
+
+    dit = DiT.tiny(lora_rank=2)
+    trainable, _ = partition_params(dit.init(jax.random.key(0)))
+    cfg_a = TrainConfig(learning_rate=1e-5, lr_scheduler="constant",
+                        optimizer="adamw", lr_warmup_steps=0)
+    tx_a = make_optimizer(cfg_a)
+    state = tx_a.init(trainable)        # "checkpointed" optimizer state
+    grads = jax.tree.map(jnp.ones_like, trainable)
+    # a couple of pre-resume steps so moments are non-trivial
+    for _ in range(2):
+        up, state = tx_a.update(grads, state, trainable)
+
+    cfg_b = dataclasses.replace(cfg_a, learning_rate=1e-4)   # resume w/ new LR
+    up_a, _ = tx_a.update(grads, state, trainable)
+    up_b, _ = make_optimizer(cfg_b).update(grads, state, trainable)
+    for a, b in zip(jax.tree.leaves(up_a), jax.tree.leaves(up_b)):
+        np.testing.assert_allclose(np.asarray(b), 10.0 * np.asarray(a),
+                                   rtol=1e-5)
+
+
+def test_text_drop_ratio():
+    """Text-prompt dropout (reference dataloader.py:995-996): off by
+    default, empties the caption at the configured rate."""
+    from bindyouravatar_tpu.training.data import maybe_drop_text
+
+    class FixedRng:
+        def __init__(self, v):
+            self.v = v
+
+        def random(self):
+            return self.v
+
+    assert maybe_drop_text("cap", 0.0, FixedRng(0.0)) == "cap"   # default off
+    assert maybe_drop_text("cap", 0.3, FixedRng(0.29)) == ""
+    assert maybe_drop_text("cap", 0.3, FixedRng(0.31)) == "cap"
+    # dataset wiring: the field exists on both on-disk dataset classes
+    import dataclasses as dc
+
+    from bindyouravatar_tpu.training.data import (AvatarVideoDataset,
+                                                  ReferenceLayoutDataset)
+    for cls in (AvatarVideoDataset, ReferenceLayoutDataset):
+        assert any(f.name == "text_drop_ratio" and f.default == 0.0
+                   for f in dc.fields(cls))
+
+
 def test_adafactor_option():
     from bindyouravatar_tpu.config import TrainConfig
     from bindyouravatar_tpu.training.trainer import make_optimizer
