@@ -139,7 +139,11 @@ class DiT:
             router_norms=RouterNorms(q_k_dim=self.router_cfg.q_k_dim,
                                      param_dtype=c.param_dtype),
             router_layer=MultiIPRouterLayerProj(q_k_dim=self.router_cfg.q_k_dim, **kw),
-            router_trunk=MultiIPRouterTrunk(self.router_cfg, **kw),
+            # fuse_qk_norm marks the DiT as inference-configured (pipeline
+            # .create sets it): the trunk's spatial attention then takes the
+            # no-vjp transposed-PV flash path too
+            router_trunk=MultiIPRouterTrunk(self.router_cfg,
+                                            inference_vt=c.fuse_qk_norm, **kw),
             audio_statics=AudioStatics(self.audio_cfg, **kw),
             audio_layer=AudioCrossAttnLayer(self.audio_cfg, **kw),
         )

@@ -110,6 +110,10 @@ class SelfAttention(nn.Module):
     dim: int
     heads: int = 8
     bias: bool = True
+    # inference-only (no vjp): route through the transposed-PV flash kernel
+    # — to_v emits V as [B, H*D, S] in the dot's epilogue and both kernel
+    # matmuls run at full MXU width (the DiT flat path's round-4 win)
+    v_transposed: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -128,10 +132,15 @@ class SelfAttention(nn.Module):
         # the trained router uses the same path
         q = dense("to_q")(x)
         k = dense("to_k")(x)
-        v = dense("to_v")(x)
         use_flash = dh % 64 == 0   # Mosaic lane width; tiny test dims -> SDPA
-        o = attention(q, k, v, use_flash=use_flash, layout="flat",
-                      heads=self.heads)
+        if self.v_transposed and use_flash and s >= 1024:
+            vt = jnp.swapaxes(dense("to_v")(x), 1, 2)
+            o = attention(q, k, vt, use_flash=True, layout="flat",
+                          heads=self.heads, v_transposed=True)
+        else:
+            v = dense("to_v")(x)
+            o = attention(q, k, v, use_flash=use_flash, layout="flat",
+                          heads=self.heads)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(o)
 
@@ -206,6 +215,7 @@ class SpatialTemporalAttentionBlock(nn.Module):
     dim: int
     heads: int = 8
     mlp_ratio: int = 1
+    inference_vt: bool = False    # transposed-PV spatial attn (no-vjp path)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -213,7 +223,9 @@ class SpatialTemporalAttentionBlock(nn.Module):
     def __call__(self, x):
         # x: [B, I, T, H, W, C]
         b, i, t, h, w, c = x.shape
-        spatial = SelfAttention(self.dim, self.heads, dtype=self.dtype,
+        spatial = SelfAttention(self.dim, self.heads,
+                                v_transposed=self.inference_vt,
+                                dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="spatial_attn")
         temporal = AxisAttention(self.dim, axis=2, heads=self.heads,
                                  dtype=self.dtype, param_dtype=self.param_dtype,
@@ -313,6 +325,7 @@ class MultiIPRouterTrunk(nn.Module):
     `layer_proj` module call outside) -> routing [B, S, I] in [0,1].
     """
     cfg: RouterConfig = RouterConfig()
+    inference_vt: bool = False    # thread to the STAB spatial attention
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -349,6 +362,7 @@ class MultiIPRouterTrunk(nn.Module):
         for li in range(c.num_attention_layers):
             feat = SpatialTemporalAttentionBlock(
                 dim=c.feat_dim, heads=c.attn_heads, mlp_ratio=c.mlp_ratio,
+                inference_vt=self.inference_vt,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"st_{li}")(feat)
 

@@ -648,25 +648,35 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
     kblk = kc_ref[pl.ds(ik * block_k, block_k), :]
     qall = qc_ref[...]
+    # STAGED over the head pair: issue BOTH score matmuls first, then both
+    # softmax passes, then both PV matmuls — the per-head st(MXU) ->
+    # exp2(VPU) -> pv(MXU) chain is serial, but head 1's matmuls are
+    # independent of head 0's VPU work, so interleaving lets the MXU run
+    # under the ~35%-of-kernel exp2 pass instead of idling behind it
+    sts = []
     for h in range(hpb):
         sl = slice(h * dh, (h + 1) * dh)
-        st = jax.lax.dot_general(
+        sts.append(jax.lax.dot_general(
             kblk[:, sl], qall[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bk, bq]
+            preferred_element_type=jnp.float32))  # [bk, bq]
+    pts, alphas = [], []
+    for h in range(hpb):
         m_ref = m_refs[h]
-        acc_ref = acc_refs[h]
         m_prev = m_ref[:1, :]                    # [1, bq] (log2 units)
-        m_curr = jnp.max(st, axis=0, keepdims=True)
+        m_curr = jnp.max(sts[h], axis=0, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p_t = jnp.exp2(st - m_next)              # [bk, bq]
+        alphas.append(jnp.exp2(m_prev - m_next))
+        pts.append(jnp.exp2(sts[h] - m_next))    # [bk, bq]
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    for h in range(hpb):
+        sl = slice(h * dh, (h + 1) * dh)
+        acc_ref = acc_refs[h]
         # ones-row rides the matmul: acc row dh accumulates l = sum_k p
         vt_ext = jnp.concatenate([vt[sl], valid], axis=0)    # [dh+1, bk]
         pv = jax.lax.dot_general(
-            vt_ext, p_t.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            vt_ext, pts[h].astype(vt.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [dh+1, bq]
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        acc_ref[...] = acc_ref[...] * alphas[h] + pv
 
     @pl.when(ik == num_kv_blocks - 1)
     def _store():

@@ -237,3 +237,29 @@ def test_combine_before_out_projection_is_exact():
               + inv.sum(-1, keepdims=True) * ap["to_out"]["bias"])
     np.testing.assert_allclose(np.asarray(fused2), np.asarray(naive),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_trunk_inference_vt_matches():
+    """The trunk's transposed-PV spatial-attention inference path (set by
+    pipeline.create via fuse_qk_norm) is numerically identical to the
+    training path and shares its param tree."""
+    from bindyouravatar_tpu.config import RouterConfig
+    from bindyouravatar_tpu.models.router import MultiIPRouterTrunk
+
+    cfg = RouterConfig()
+    tr_a = MultiIPRouterTrunk(cfg, inference_vt=False,
+                              dtype=jnp.float32, param_dtype=jnp.float32)
+    tr_b = MultiIPRouterTrunk(cfg, inference_vt=True,
+                              dtype=jnp.float32, param_dtype=jnp.float32)
+    grid = (2, 30, 45)
+    s = 2 * 30 * 45
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = 0.1 * jax.random.normal(k1, (1, s, cfg.q_k_dim), jnp.float32)
+    kk = 0.1 * jax.random.normal(
+        k2, (1, 2, cfg.num_id_token, cfg.q_k_dim), jnp.float32)
+    p = tr_a.init(k3, q, kk, grid)
+    oa = tr_a.apply(p, q, kk, grid)
+    ob = tr_b.apply(p, q, kk, grid)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
+    pb = tr_b.init(k3, q, kk, grid)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, p, pb))

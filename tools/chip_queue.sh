@@ -8,7 +8,7 @@
 # Jobs: bench e2e depth12 depth14 bwd serve profile
 set -u
 cd "$(dirname "$0")/.."
-OUT=runs/chip_r4
+OUT=${CHIP_OUT:-runs/chip_r5}
 mkdir -p "$OUT"
 
 probe() {
@@ -29,6 +29,8 @@ JOBS=${*:-"bench e2e depth12 depth14 bwd serve profile"}
 for j in $JOBS; do
   case "$j" in
     bench)   run_job bench   2400 python bench.py ;;
+    flat_t)  run_job flat_t  2400 python tools/flat_t_bench.py ;;
+    cond)    run_job cond    2400 python tools/cond_decompose.py ;;
     e2e)     run_job e2e     3000 python tools/e2e_flagship_smoke.py 4 ;;
     depth12) run_job depth12 2400 python tools/train_bench.py 12 adamw nested ;;
     depth14) run_job depth14 2400 python tools/train_bench.py 14 adamw nested ;;
