@@ -76,6 +76,11 @@ class DiTConfig:
     # single-chip train-depth lever; costs one extra block forward per
     # block during backward)
     remat_policy: Optional[str] = None
+    # sequence-chunk the FF's custom-VJP backward (ops/ff.py): bounds the
+    # block backward's bf16 [S, 4*dim] intermediates (416 MB each at
+    # flagship geometry) to [S/ff_chunks, 4*dim].  Training-depth lever;
+    # 1 = plain Dense path (inference default — XLA's fusion wins there)
+    ff_chunks: int = 1
 
     @property
     def inner_dim(self) -> int:

@@ -113,7 +113,8 @@ class DiT:
             block=CogVideoXBlock(
                 dim=c.inner_dim, heads=c.num_attention_heads,
                 head_dim=c.attention_head_dim, time_embed_dim=c.time_embed_dim,
-                eps=c.norm_eps, ff_mult=c.ff_mult, qk_norm=c.qk_norm,
+                eps=c.norm_eps, ff_mult=c.ff_mult, ff_chunks=c.ff_chunks,
+                qk_norm=c.qk_norm,
                 attention_bias=c.attention_bias, use_flash=c.use_flash_attention,
                 fuse_qk_norm=c.fuse_qk_norm,
                 lora_rank=c.lora_rank, lora_alpha=c.lora_alpha, **kw),

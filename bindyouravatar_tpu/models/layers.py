@@ -109,15 +109,45 @@ class TimestepEmbedding(nn.Module):
                         param_dtype=self.param_dtype, name="linear_2")(x)
 
 
+class _DenseParams(nn.Module):
+    """Params-only twin of nn.Dense (same tree: kernel/bias, same inits) —
+    lets ff_chunked own the matmuls while checkpoints stay interchangeable
+    with the plain Dense path."""
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """gelu-approximate MLP (diffusers FeedForward, biases on)."""
+    """gelu-approximate MLP (diffusers FeedForward, biases on).
+
+    `chunks > 1`: sequence-chunked custom-VJP path (ops/ff.py) — same
+    math and param tree, bounds the backward's [S, 4*dim] intermediates
+    to [S/chunks, 4*dim] (the single-chip train-depth lever).
+    """
     dim: int
     mult: int = 4
+    chunks: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.chunks > 1:
+            from ..ops.ff import ff_chunked
+            w0, b0 = _DenseParams(self.dim * self.mult, self.param_dtype,
+                                  name="net_0")(x.shape[-1])
+            w2, b2 = _DenseParams(self.dim, self.param_dtype,
+                                  name="net_2")(self.dim * self.mult)
+            return ff_chunked(x.astype(self.dtype), w0, b0, w2, b2,
+                              self.chunks)
         h = nn.Dense(self.dim * self.mult, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="net_0")(x)
         h = nn.gelu(h, approximate=True)
@@ -225,11 +255,14 @@ class JointSelfAttention(nn.Module):
             qs_, qb_ = _Affine(self.head_dim, self.param_dtype, name="norm_q")()
             ks_, kb_ = _Affine(self.head_dim, self.param_dtype, name="norm_k")()
             vt = jnp.swapaxes(dense("to_v")(x), 1, 2)
-            o = attention(q, k, vt, use_flash=True, kv_len=s_real,
-                          rope=rope, rope_start=text_len, layout="flat",
-                          heads=self.heads, qk_norm=(qs_, qb_, ks_, kb_),
-                          v_transposed=True)
-            o = o[:, :s_real]
+            # out_transposed: the kernel stores its accumulator's natural
+            # [B, H*D, S] orientation (no in-kernel eye-matmul rotate); the
+            # swapaxes below folds into to_out's dot (contraction over H*D)
+            ot = attention(q, k, vt, use_flash=True, kv_len=s_real,
+                           rope=rope, rope_start=text_len, layout="flat",
+                           heads=self.heads, qk_norm=(qs_, qb_, ks_, kb_),
+                           v_transposed=True, out_transposed=True)
+            o = jnp.swapaxes(ot[:, :, :s_real], 1, 2)
             o = nn.Dense(hidden.shape[-1], use_bias=self.out_bias,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="to_out")(o)
@@ -275,12 +308,26 @@ class JointSelfAttention(nn.Module):
                                scale=self.head_dim ** -0.5, valid_len=s_real)
             o = o.transpose(0, 2, 1, 3)
         else:
-            # stay in [B, S, H, Dh] — the kernel consumes the projections'
-            # natural layout, so no [B,H,S,D] transpose ever hits HBM; RoPE
-            # is fused into the kernel (each costs GBs of padded temps/step)
-            o = attention(q, k, v, use_flash=self.use_flash, kv_len=s_real,
-                          rope=rope, rope_start=text_len, layout="bshd",
-                          qk_norm=qk_aff)
+            hpb = max(1, 128 // self.head_dim)
+            if self.use_flash and self.heads % hpb == 0:
+                # FLAT training path: q/k/v flattened back to [B, S, H*D]
+                # (a free reshape of the bshd view) — the custom-VJP flat
+                # kernel's saved residuals are then the projections
+                # themselves, with NO [B,H,S,D] transposed copies in the
+                # backward's live set (~650 MB/block at flagship geometry,
+                # the depth-14 single-chip limiter; runs/chip_r5/depth14.log)
+                flat3 = lambda t: t.reshape(b, s, inner)
+                o = attention(flat3(q), flat3(k), flat3(v),
+                              use_flash=True, kv_len=s_real, rope=rope,
+                              rope_start=text_len, layout="flat",
+                              heads=self.heads)
+                o = o.reshape(b, s, self.heads, self.head_dim)
+            else:
+                # stay in [B, S, H, Dh] — the kernel consumes the
+                # projections' natural layout; RoPE fused in-kernel
+                o = attention(q, k, v, use_flash=self.use_flash,
+                              kv_len=s_real, rope=rope, rope_start=text_len,
+                              layout="bshd", qk_norm=qk_aff)
         # named for DiTConfig.remat_policy="save_attn": keep this tensor
         # across the remat backward so the flash forward never recomputes
         from jax.ad_checkpoint import checkpoint_name
@@ -299,6 +346,7 @@ class CogVideoXBlock(nn.Module):
     time_embed_dim: int
     eps: float = 1e-5
     ff_mult: int = 4
+    ff_chunks: int = 1
     qk_norm: bool = True
     attention_bias: bool = True
     use_flash: bool = True
@@ -327,7 +375,8 @@ class CogVideoXBlock(nn.Module):
         norm2 = LayerNormZero(self.dim, eps=self.eps, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="norm2")
         nh, ne, gate_ff, e_gate_ff = norm2(hidden, encoder_hidden, temb)
-        ff = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype,
+        ff = FeedForward(self.dim, mult=self.ff_mult, chunks=self.ff_chunks,
+                         dtype=self.dtype,
                          param_dtype=self.param_dtype, name="ff")
         ff_out = ff(jnp.concatenate([ne, nh], axis=1))
         hidden = hidden + (gate_ff * ff_out[:, text_len:]).astype(hidden.dtype)

@@ -135,8 +135,10 @@ class SelfAttention(nn.Module):
         use_flash = dh % 64 == 0   # Mosaic lane width; tiny test dims -> SDPA
         if self.v_transposed and use_flash and s >= 1024:
             vt = jnp.swapaxes(dense("to_v")(x), 1, 2)
-            o = attention(q, k, vt, use_flash=True, layout="flat",
-                          heads=self.heads, v_transposed=True)
+            ot = attention(q, k, vt, use_flash=True, layout="flat",
+                           heads=self.heads, v_transposed=True,
+                           out_transposed=True)
+            o = jnp.swapaxes(ot, 1, 2)   # folds into to_out's dot
         else:
             v = dense("to_v")(x)
             o = attention(q, k, v, use_flash=use_flash, layout="flat",

@@ -129,6 +129,7 @@ def attention(
     qk_norm=None,
     heads=None,
     v_transposed: bool = False,
+    out_transposed: bool = False,
 ) -> jnp.ndarray:
     """Self/cross attention over [B, H, S, D], [B, S, H, D], or flat
     [B, S, H*D] (`layout="flat"`, pass `heads`) tensors.
@@ -147,7 +148,8 @@ def attention(
         return flash_attention(q, k, v, scale=scale, kv_len=kv_len,
                                rope=rope, rope_start=rope_start, layout=layout,
                                qk_norm=qk_norm, heads=heads,
-                               v_transposed=v_transposed)
+                               v_transposed=v_transposed,
+                               out_transposed=out_transposed)
     if v_transposed:          # SDPA fallback: restore [B, S, H*D]
         v = jnp.swapaxes(v, 1, 2)
     if layout == "flat":
@@ -157,7 +159,8 @@ def attention(
         out = attention(split(q), split(k), split(v), scale=scale,
                         use_flash=False, kv_len=kv_len, rope=rope,
                         rope_start=rope_start, layout="bhsd", qk_norm=qk_norm)
-        return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        return jnp.swapaxes(out, 1, 2) if out_transposed else out
     if layout == "bshd":
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     if qk_norm is not None:

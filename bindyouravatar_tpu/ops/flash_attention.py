@@ -556,6 +556,7 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
 
 
 def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
+                       out_transposed: bool = False, static_max: bool = False,
                        need_q_mask: bool, block_k: int,
                        num_kv_blocks: int, need_mask: bool, has_rope: bool,
                        has_qk_norm: bool, dh: int, hpb: int):
@@ -586,11 +587,19 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
     if has_qk_norm:
         qs_ref, qb_ref, ks_ref, kb_ref = refs[:4]
         refs = refs[4:]
+    mb_ref = None
+    if static_max:
+        mb_ref = refs[0]             # [1, 1] fp32: provable logit bound
+        refs = refs[1:]
     o_ref = refs[0]
     refs = refs[1:]
     qc_ref, kc_ref = refs[:2]
-    m_refs = refs[2:2 + hpb]
-    acc_refs = refs[2 + hpb:2 + 2 * hpb]
+    if static_max:
+        m_refs = ()
+        acc_refs = refs[2:2 + hpb]
+    else:
+        m_refs = refs[2:2 + hpb]
+        acc_refs = refs[2 + hpb:2 + 2 * hpb]
 
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -606,8 +615,9 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
     @pl.when(ik == 0)
     def _init():
-        for mr, ar in zip(m_refs, acc_refs):
+        for mr in m_refs:
             mr[...] = jnp.full_like(mr, NEG_INF)
+        for ar in acc_refs:
             ar[...] = jnp.zeros_like(ar)
         qt = q_ref[0]                            # [bq, hpb*dh]
         if need_q_mask:
@@ -660,26 +670,59 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
             kblk[:, sl], qall[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))  # [bk, bq]
     pts, alphas = [], []
-    for h in range(hpb):
-        m_ref = m_refs[h]
-        m_prev = m_ref[:1, :]                    # [1, bq] (log2 units)
-        m_curr = jnp.max(sts[h], axis=0, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alphas.append(jnp.exp2(m_prev - m_next))
-        pts.append(jnp.exp2(sts[h] - m_next))    # [bk, bq]
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    if static_max:
+        # STATIC-MAX softmax (fused-QK-LN inference path): the caller
+        # passes a PROVABLE upper bound M on |logit| in log2 units —
+        # per-row LN output 2-norm <= ||gain||_2 + ||bias||_2 (the
+        # standardized vector has unit RMS), rope is a rotation (norm-
+        # preserving), so st <= sm_scale*log2(e)*Bq*Bk.  Softmax is
+        # shift-invariant and p = exp2(st - M) >= 2^(-2M) stays far above
+        # bf16's underflow, so out = acc/l is the EXACT softmax up to the
+        # same bf16-p rounding the running-max variant has.  This deletes
+        # the per-tile max reduce (a full VMEM read pass), the m state,
+        # and the acc rescale — the kernel's largest non-MXU cost.
+        mm = mb_ref[0, 0]
+        for h in range(hpb):
+            pts.append(jnp.exp2(sts[h] - mm).astype(vt.dtype))
+    else:
+        for h in range(hpb):
+            m_ref = m_refs[h]
+            m_prev = m_ref[:1, :]                # [1, bq] (log2 units)
+            m_curr = jnp.max(sts[h], axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alphas.append(jnp.exp2(m_prev - m_next))
+            # emit bf16 straight from the exp2 pass: p only feeds the bf16
+            # PV matmul, so the cast here is semantics-identical but fuses
+            # into the exp2's store (no separate re-read of the fp32 tile)
+            pts.append(jnp.exp2(sts[h] - m_next).astype(vt.dtype))
+            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
     for h in range(hpb):
         sl = slice(h * dh, (h + 1) * dh)
         acc_ref = acc_refs[h]
         # ones-row rides the matmul: acc row dh accumulates l = sum_k p
         vt_ext = jnp.concatenate([vt[sl], valid], axis=0)    # [dh+1, bk]
         pv = jax.lax.dot_general(
-            vt_ext, pts[h].astype(vt.dtype), (((1,), (0,)), ((), ())),
+            vt_ext, pts[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [dh+1, bq]
-        acc_ref[...] = acc_ref[...] * alphas[h] + pv
+        if static_max:
+            acc_ref[...] = acc_ref[...] + pv
+        else:
+            acc_ref[...] = acc_ref[...] * alphas[h] + pv
 
     @pl.when(ik == num_kv_blocks - 1)
     def _store():
+        if out_transposed:
+            # o stays [dh, bq]: no rotate at all — stacked heads give the
+            # [dpair, bq] block of the [B, H*D, S] output, and the caller's
+            # to_out matmul contracts H*D (the transpose folds into the dot)
+            outs = []
+            for acc_ref in acc_refs:
+                l_fin = acc_ref[dh:dh + 1, :]    # [1, bq]
+                inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+                outs.append((acc_ref[:dh, :] * inv).astype(o_ref.dtype))
+            out = jnp.concatenate(outs, axis=0) if hpb > 1 else outs[0]
+            o_ref[0] = out
+            return
         bq = qc_ref.shape[0]
         eye = (jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) ==
                jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
@@ -700,9 +743,14 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
 def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
                      kv_len: int, block_q: int, block_k: int,
-                     interpret: bool, qk_norm=None):
+                     interpret: bool, qk_norm=None,
+                     out_transposed: bool = False,
+                     static_max: Optional[bool] = None):
     """q/k: [B, S, H*D] flat; vt: [B, H*D, S] (pre-transposed V).
-    Returns [B, S, H*D].  Inference-only (no VJP)."""
+    Returns [B, S, H*D], or [B, H*D, S] when `out_transposed` (the
+    accumulator's natural orientation: skips the in-kernel eye-matmul
+    rotate; the caller's to_out contracts H*D so the transpose folds
+    into that dot).  Inference-only (no VJP)."""
     b, s, hd = q.shape
     d = hd // heads
     hpb = max(1, LANES // d)                     # heads per 128-lane block
@@ -711,10 +759,26 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
     nq = pl.cdiv(s, block_q)
     nk = pl.cdiv(s, block_k)
     has_rope = rope is not None
+    if static_max is None:
+        static_max = qk_norm is not None
+
+    mb = None
+    if static_max:
+        # provable logit bound (log2 units, matching the in-kernel fold):
+        # LN output row y = z*g + b with ||z||_2 <= sqrt(d) (unit-RMS
+        # standardized vector), so ||y||_2 <= max|g|*sqrt(d) + ||b||_2;
+        # rope is a rotation (norm-preserving); |st| <= Bq*Bk*scale*log2e.
+        assert qk_norm is not None, "static_max needs the fused QK-LN bound"
+        gq, bq_, gk, bk_ = (a.astype(jnp.float32) for a in qk_norm)
+        bound = lambda g, b_: (jnp.max(jnp.abs(g)) * (d ** 0.5)
+                               + jnp.sqrt(jnp.sum(b_ * b_)))
+        mb = (bound(gq, bq_) * bound(gk, bk_)
+              * sm_scale * LOG2E).reshape(1, 1)
 
     kernel = functools.partial(
         _fwd_flat_t_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_q=block_q, need_q_mask=kv_len < nq * block_q,
+        out_transposed=out_transposed, static_max=static_max,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
         has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
 
@@ -731,7 +795,11 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
     ]
     inputs = [q, k, vt]
     if has_rope:
-        cos, sin = rope
+        # pad the tables to the GRID extent (not just S): a non-dividing
+        # boundary block reads table rows past S, and undefined loads there
+        # poison the whole block once the eye-matmul store (or the running
+        # max) mixes columns — same hazard class as the ADVICE r4 q-row fix
+        cos, sin = _pad_rope(rope, max(nq * block_q, nk * block_k))
         in_specs += [pl.BlockSpec((block_q, d), rq),
                      pl.BlockSpec((block_q, d), rq),
                      pl.BlockSpec((block_k, d), rk),
@@ -742,25 +810,41 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
         for a in qk_norm:   # (q_scale, q_bias, k_scale, k_bias), each [d]
             inputs.append(a.astype(jnp.float32).reshape(1, d))
             in_specs.append(aff_spec)
+    if static_max:
+        inputs.append(mb)
+        in_specs.append(pl.BlockSpec((1, 1), lambda *idx: (0, 0)))
 
     scratch = [
         pltpu.VMEM((block_q, dpair), q.dtype),           # qc (LN+rope+scale)
         pltpu.VMEM((nk * block_k, dpair), k.dtype),      # kc (whole-seq K)
     ]
-    scratch += [pltpu.VMEM((8, block_q), jnp.float32)] * hpb       # m rows
+    if not static_max:
+        scratch += [pltpu.VMEM((8, block_q), jnp.float32)] * hpb   # m rows
     scratch += [pltpu.VMEM((d + 1, block_q), jnp.float32)] * hpb   # acc|l
 
+    if out_transposed:
+        out_shape = jax.ShapeDtypeStruct((b, hd, s), q.dtype)
+        out_spec = pl.BlockSpec((1, dpair, block_q),
+                                lambda b_, hp, iq, ik: (b_, hp, iq))
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, s, hd), q.dtype)
+        out_spec = pl.BlockSpec((1, block_q, dpair), qi)
+    # score tiles dominate VMEM: 2 heads x fp32 [bk, bq] (+ bf16 p) — give
+    # large-block sweeps headroom (v5e has 128 MB; the in-model default
+    # blocks stay within the 48 MB baseline)
+    vmem = max(VMEM_LIMIT,
+               min(100 * 1024 * 1024, 16 * hpb * block_q * block_k))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        out_shape=out_shape,
         grid=(b, heads // hpb, nq, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dpair), qi),
+        out_specs=out_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel",
                                  "arbitrary", "arbitrary"),
-            vmem_limit_bytes=VMEM_LIMIT,
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(*inputs)
@@ -1121,7 +1205,10 @@ def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel",
                                  "arbitrary", "arbitrary"),
-            vmem_limit_bytes=112 * 1024 * 1024,
+            # flat (hpb=2) scratch is 2x wider than bhsd; a 112M allowance
+            # left only 16M for the surrounding fusion's buffers and the
+            # depth-14 step OOM'd VMEM by 7M (runs/chip_r5/depth14_flat.log)
+            vmem_limit_bytes=(100 if not bhsd else 112) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -1378,32 +1465,40 @@ def _flash_bwd(sm_scale, kv_len, block_q, block_k, interpret, bshd, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_flat(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
-                interpret):
-    """Differentiable flat-layout flash (no rope / no fused LN): forward is
-    the flat kernel (saving the compact LSE residual); backward is the
-    combined flat dq/dk/dv kernel."""
-    return _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_flat(q, k, v, cos, sin, heads, sm_scale, kv_len, block_q,
+                block_k, interpret):
+    """Differentiable flat-layout flash (optional in-kernel rope; no fused
+    LN): forward is the flat kernel (saving the compact LSE residual);
+    backward is the combined flat dq/dk/dv kernel.  Keeping q/k/v in
+    [B, S, H*D] end to end means the residuals are the projections
+    themselves — no [B,H,S,D] transposed copies in the backward's live set
+    (the depth-14 single-chip HBM limiter, runs/chip_r5/depth14.log)."""
+    rope = None if cos is None else (cos, sin)
+    return _fwd_flat_impl(q, k, v, heads, rope, sm_scale, kv_len,
                           block_q, block_k, interpret)
 
 
-def _flash_flat_fwd(q, k, v, heads, sm_scale, kv_len, block_q, block_k,
-                    interpret):
+def _flash_flat_fwd(q, k, v, cos, sin, heads, sm_scale, kv_len, block_q,
+                    block_k, interpret):
     bq = min(block_q, 1024)    # lse output + eye transpose cost VMEM
     bk = min(block_k, 1024)
-    o, lse = _fwd_flat_impl(q, k, v, heads, None, sm_scale, kv_len,
+    rope = None if cos is None else (cos, sin)
+    o, lse = _fwd_flat_impl(q, k, v, heads, rope, sm_scale, kv_len,
                             bq, bk, interpret, save_residuals=True)
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, o, lse, cos, sin)
 
 
 def _flash_flat_bwd(heads, sm_scale, kv_len, block_q, block_k, interpret,
                     res, do):
-    q, k, v, o, lse = res
+    q, k, v, o, lse, cos, sin = res
     b, s, hd = q.shape
     d = hd // heads
+    # flat bwd runs hpb=2 (two heads per cell): its per-cell tiles are 2x
+    # the bhsd sweep's — 1024x1024 needs 126M scoped VMEM (> the 100M
+    # allowance, runs/chip_r5/depth14_flat2.log); 1024x512 fits
     bq = min(block_q, BWD_BLOCK_Q)
-    bk = min(block_k, BWD_BLOCK_K)
+    bk = min(block_k, BWD_BLOCK_K // 2)
     s_pad = _round_up(s, max(bq, bk))
     # delta = rowsum(o * do) per head, computed in XLA (o stays out of the
     # backward kernel); [B, S, heads] -> compact [B, H//hpb, hpb, S_pad]
@@ -1413,8 +1508,13 @@ def _flash_flat_bwd(heads, sm_scale, kv_len, block_q, block_k, interpret,
     delta_c = _repack_rows(delta, heads, hpb, s_pad, 0.0)
     lse_c = jnp.pad(lse, [(0, 0), (0, 0), (0, 0), (0, s_pad - s)],
                     constant_values=-NEG_INF)   # fwd emits the compact layout
-    return _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads, None,
-                          sm_scale, kv_len, bq, bk, interpret)
+    rope = None if cos is None else (cos, sin)
+    dq, dk, dv = _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads, rope,
+                                sm_scale, kv_len, bq, bk, interpret)
+    # the tables are constants — zero cotangents
+    dcos = None if cos is None else jnp.zeros_like(cos)
+    dsin = None if sin is None else jnp.zeros_like(sin)
+    return (dq, dk, dv, dcos, dsin)
 
 
 _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
@@ -1436,6 +1536,7 @@ def flash_attention(
                             jnp.ndarray, jnp.ndarray]] = None,
     heads: Optional[int] = None,
     v_transposed: bool = False,
+    out_transposed: bool = False,
 ) -> jnp.ndarray:
     """Flash attention (self-attention, non-causal).
 
@@ -1492,7 +1593,8 @@ def flash_attention(
             out = flash_attention(qb, kb, vb, scale=scale, kv_len=kv_len,
                                   rope=rope, rope_start=rope_start,
                                   layout="bhsd", qk_norm=qk_norm)
-            return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+            return jnp.swapaxes(out, 1, 2) if out_transposed else out
         s128 = _round_up(s, 128)
         bq = min(block_q, 1536 if cos is not None else block_q, s128)
         bk = min(block_k, 1536 if cos is not None else block_k, s128)
@@ -1502,13 +1604,16 @@ def flash_attention(
         if v_transposed:
             return _fwd_flat_t_impl(q, k, v, heads, rope_t, float(scale),
                                     int(kv_len), int(bq), int(bk),
-                                    bool(interpret), qk_norm=qk_norm)
-        if cos is None and qk_norm is None:
-            # bare flat attention (router STAB spatial): differentiable —
-            # forward is the flat kernel, backward the chunked recompute on
-            # bhsd views (training-only transposes)
-            return _flash_flat(q, k, v, heads, float(scale), int(kv_len),
-                               int(bq), int(bk), bool(interpret))
+                                    bool(interpret), qk_norm=qk_norm,
+                                    out_transposed=out_transposed)
+        if qk_norm is None:
+            # differentiable flat attention (router STAB spatial; DiT
+            # training with rope, LN applied outside): forward is the flat
+            # kernel, backward the combined flat dq/dk/dv kernel — q/k/v
+            # residuals stay [B, S, H*D] (no bhsd copies in the backward)
+            return _flash_flat(q, k, v, cos, sin, heads, float(scale),
+                               int(kv_len), int(bq), int(bk),
+                               bool(interpret))
         return _fwd_flat_impl(q, k, v, heads, rope_t, float(scale),
                               int(kv_len), int(bq), int(bk),
                               bool(interpret), qk_norm=qk_norm)

@@ -533,6 +533,71 @@ def test_flash_flat_transposed_v_matches_flat():
                            block_q=128, block_k=128, interpret=True)
     assert np.isfinite(np.asarray(got3)).all(), "NaN in transposed-PV output"
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want3), atol=2e-5)
+    # out_transposed: kernel emits [B, H*D, S] directly (no eye rotate) —
+    # must equal the rotated output exactly, incl. LN/rope fused and the
+    # non-dividing boundary block
+    got_t = flash_attention(q, k, jnp.swapaxes(v, 1, 2), kv_len=kv,
+                            rope=(cos, sin), rope_start=text_len,
+                            layout="flat", heads=h, v_transposed=True,
+                            out_transposed=True,
+                            qk_norm=(qs, qb, ksc, kb),
+                            block_q=128, block_k=128, interpret=True)
+    assert got_t.shape == (b, h * d, s), got_t.shape
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got_t, 1, 2)[:, :kv]),
+        np.asarray(want[:, :kv]), atol=2e-5)
+    got3_t = flash_attention(q3, k3, jnp.swapaxes(v3, 1, 2), kv_len=s3,
+                             layout="flat", heads=h, v_transposed=True,
+                             out_transposed=True,
+                             block_q=128, block_k=128, interpret=True)
+    assert np.isfinite(np.asarray(got3_t)).all()
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got3_t, 1, 2)),
+                               np.asarray(want3), atol=2e-5)
+
+
+def test_flash_flat_t_static_max_matches_running_max():
+    """static-max softmax (provable QK-LN logit bound instead of the
+    online running max) == the running-max kernel: softmax is shift-
+    invariant and fp32 exp2 keeps full relative precision at any shift
+    within the bound, so fp32-V outputs agree to reduction noise."""
+    from bindyouravatar_tpu.ops.flash_attention import (
+        _fwd_flat_t_impl)
+    from bindyouravatar_tpu.ops.rope import get_3d_rotary_pos_embed
+
+    b, h, d = 1, 4, 64
+    text_len = 8
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s_real = text_len + cos.shape[0]              # 248
+    s = 320                                       # non-dividing q/kv grid
+    kv = s_real
+    ks_ = jax.random.split(jax.random.key(23), 7)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    vt = jnp.swapaxes(jax.random.normal(ks_[2], (b, s, h * d), jnp.float32),
+                      1, 2)
+    # adversarially large affines: the bound must still hold
+    qk_norm = (1.0 + 0.5 * jax.random.normal(ks_[3], (d,)),
+               0.5 * jax.random.normal(ks_[4], (d,)),
+               1.0 + 0.5 * jax.random.normal(ks_[5], (d,)),
+               0.5 * jax.random.normal(ks_[6], (d,)))
+    rope_t = (jnp.concatenate([jnp.ones((text_len, d)),
+                               cos.astype(jnp.float32),
+                               jnp.ones((s - s_real, d))]),
+              jnp.concatenate([jnp.zeros((text_len, d)),
+                               sin.astype(jnp.float32),
+                               jnp.zeros((s - s_real, d))]))
+    args = (q, k, vt, h, rope_t, d ** -0.5, kv, 128, 128, True)
+    want = _fwd_flat_t_impl(*args, qk_norm=qk_norm, static_max=False)
+    got = _fwd_flat_t_impl(*args, qk_norm=qk_norm, static_max=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got[:, :kv]),
+                               np.asarray(want[:, :kv]),
+                               atol=3e-5, rtol=1e-4)
+    # transposed store composes with static max
+    got_t = _fwd_flat_t_impl(*args, qk_norm=qk_norm, static_max=True,
+                             out_transposed=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got_t, 1, 2)),
+                               np.asarray(want), atol=3e-5, rtol=1e-4)
 
 
 def test_flash_flat_no_norm_no_rope():
@@ -647,3 +712,84 @@ def test_sdpa_chunked_matches_sdpa():
         for a, b_ in zip(gc, gw):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-4)
+
+
+def test_ff_chunked_matches_dense_path():
+    """ff_chunked (sequence-chunked custom-VJP FF) == the plain Dense FF:
+    same outputs AND same grads (x, w0, b0, w2, b2), non-dividing S."""
+    from bindyouravatar_tpu.models.layers import FeedForward
+
+    b, s, dim, mult = 2, 37, 16, 4
+    kx, kp = jax.random.split(jax.random.key(5))
+    x = jax.random.normal(kx, (b, s, dim), jnp.float32)
+    ff_a = FeedForward(dim, mult=mult, chunks=1,
+                       dtype=jnp.float32, param_dtype=jnp.float32)
+    ff_b = FeedForward(dim, mult=mult, chunks=3,
+                       dtype=jnp.float32, param_dtype=jnp.float32)
+    p = ff_a.init(kp, x)
+    # identical param trees (checkpoint interchangeability)
+    pb = ff_b.init(kp, x)
+    assert jax.tree.all(jax.tree.map(lambda a_, b_: a_.shape == b_.shape,
+                                     p, pb))
+
+    la = lambda p_, x_: (ff_a.apply(p_, x_) ** 2).sum()
+    lb = lambda p_, x_: (ff_b.apply(p_, x_) ** 2).sum()
+    np.testing.assert_allclose(np.asarray(ff_b.apply(p, x)),
+                               np.asarray(ff_a.apply(p, x)),
+                               atol=1e-5, rtol=1e-5)
+    ga = jax.grad(la, argnums=(0, 1))(p, x)
+    gb = jax.grad(lb, argnums=(0, 1))(p, x)
+    jax.tree.map(lambda a_, b_: np.testing.assert_allclose(
+        np.asarray(b_), np.asarray(a_), atol=2e-4, rtol=2e-4), ga, gb)
+
+
+def test_flash_flat_rope_grad_matches_xla():
+    """The flat custom-VJP path WITH in-kernel rope (the round-5 flat
+    TRAINING layout — no bhsd residual copies) — value and grads match an
+    XLA reference that ropes outside, incl. a masked kv tail."""
+    from bindyouravatar_tpu.ops.attention import sdpa
+    from bindyouravatar_tpu.ops.flash_attention import flash_attention
+    from bindyouravatar_tpu.ops.rope import (apply_rotary_emb,
+                                             get_3d_rotary_pos_embed)
+
+    b, h, d = 1, 2, 64
+    text_len = 8
+    cos, sin = get_3d_rotary_pos_embed(d, ((0, 0), (8, 10)), (8, 10), 3)
+    s_real = text_len + cos.shape[0]              # 248
+    s = 256
+    ks_ = jax.random.split(jax.random.key(31), 3)
+    q = jax.random.normal(ks_[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, s, h * d), jnp.float32)
+    split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    def rot(t):
+        return jnp.concatenate(
+            [t[:, :, :text_len],
+             apply_rotary_emb(t[:, :, text_len:s_real], cos, sin),
+             t[:, :, s_real:]], axis=2)
+
+    def ref_loss(q, k, v):
+        qh, kh, vh = split(q), split(k), split(v)
+        qh, kh = rot(qh), rot(kh)
+        mask = (jnp.arange(s) < s_real)[None, None, None, :]
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (d ** -0.5)
+        sc = jnp.where(mask, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        return ((merge(o)[:, :s_real]) ** 2).sum()
+
+    def flat_loss(q, k, v):
+        o = flash_attention(q, k, v, layout="flat", heads=h,
+                            kv_len=s_real, rope=(cos, sin),
+                            rope_start=text_len,
+                            block_q=128, block_k=128, interpret=True)
+        return (o[:, :s_real] ** 2).sum()
+
+    l1, g1 = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    l2, g2 = jax.value_and_grad(flat_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a[:, :s_real]),
+                                   np.asarray(b_[:, :s_real]), atol=2e-4)

@@ -49,10 +49,13 @@ def main():
 
     results = []
     ref_out = None
-    for bq, bk in itertools.product((512, 1024, 1536), repeat=2):
+    for bq, bk in itertools.product((1024, 1536, 2048, 3072), repeat=2):
         if s % bq or s % bk:
             continue
-        for kind in ("flat", "flat_t"):
+        # the flat (rotated-store) kernel is only kept as the numerics
+        # reference — sweep it at the small configs, flat_t everywhere
+        kinds = ("flat", "flat_t") if max(bq, bk) <= 1536 else ("flat_t",)
+        for kind in kinds:
             try:
                 if kind == "flat":
                     f = jax.jit(lambda q, k, v, bq=bq, bk=bk: _fwd_flat_impl(

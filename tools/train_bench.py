@@ -34,12 +34,13 @@ def main():
     n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     optimizer = sys.argv[2] if len(sys.argv) > 2 else "adamw"
     remat_policy = sys.argv[3] if len(sys.argv) > 3 else None
+    ff_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     # bf16 params + moments: the single-chip-feasible probe (see docstring);
     # at 42 layers pass `adafactor` — factored second moments drop the
     # optimizer state from 2x trainable to ~sqrt sizes
     cfg = DiTConfig(num_layers=n_layers, cross_attn_interval=2,
                     audio_attn_interval=1, remat=True,
-                    remat_policy=remat_policy,
+                    remat_policy=remat_policy, ff_chunks=ff_chunks,
                     use_flash_attention=True,
                     param_dtype=jnp.bfloat16, dtype=jnp.bfloat16)
     dit = DiT.create(cfg)
