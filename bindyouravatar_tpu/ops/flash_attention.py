@@ -1015,35 +1015,63 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
     # dq *= sm_scale.
     qscale = sm_scale * LOG2E
 
-    def rd(ref, sl):
-        """[rows, hpb*dh] tile from a whole-sequence block."""
-        return ref[0, 0, sl, :] if bhsd else ref[0, sl, :]
-
     def halves(x, fn):
         hs = [fn(x[:, h * dh:(h + 1) * dh], h) for h in range(hpb)]
         return jnp.concatenate(hs, axis=1) if hpb > 1 else hs[0]
 
-    @pl.when((ik == 0) & (iq == 0))
-    def _cache():
-        # rotate+scale q / rotate k ONCE per (b, head-pair) into scratch —
-        # the two-kernel path re-rotates every (ik, iq) tile pair.  The
-        # qscale fold rides the fp32 rope tables (full precision).
-        full = slice(None)
-        if has_rope:
-            qs[...] = halves(rd(q_ref, full), lambda x, _: _rope_tile(
-                x, cos_ref[...] * qscale, sin_ref[...] * qscale))
-            kr[...] = halves(rd(k_ref, full), lambda x, _: _rope_tile(
-                x, cos_ref[...], sin_ref[...]))
-        else:
-            qs[...] = (rd(q_ref, full).astype(jnp.float32)
-                       * qscale).astype(qs.dtype)
-
     slq = pl.ds(iq * block_q, block_q)
     slk = pl.ds(ik * block_k, block_k)
+
+    if bhsd:
+        # whole-sequence input windows (dpair = dh keeps them small)
+        rd = lambda ref, sl: ref[0, 0, sl, :]
+
+        @pl.when((ik == 0) & (iq == 0))
+        def _cache():
+            # rotate+scale q / rotate k ONCE per (b, head-pair) — the
+            # two-kernel path re-rotates every (ik, iq) tile pair.  The
+            # qscale fold rides the fp32 rope tables (full precision).
+            full = slice(None)
+            if has_rope:
+                qs[...] = halves(rd(q_ref, full), lambda x, _: _rope_tile(
+                    x, cos_ref[...] * qscale, sin_ref[...] * qscale))
+                kr[...] = halves(rd(k_ref, full), lambda x, _: _rope_tile(
+                    x, cos_ref[...], sin_ref[...]))
+            else:
+                qs[...] = (rd(q_ref, full).astype(jnp.float32)
+                           * qscale).astype(qs.dtype)
+
+        kt = kr[slk, :] if has_rope else rd(k_ref, slk)  # [bk, hpb*dh]
+        vt = rd(v_ref, slk)
+        dot_ = rd(do_ref, slq)
+    else:
+        # flat (hpb=2, dpair=128): PER-BLOCK input windows — four
+        # double-buffered whole-seq windows cost ~38 MB x2 and pushed the
+        # kernel's scoped-VMEM stack to 120-126 MB (depth-14 blocker,
+        # runs/chip_r5/depth14_flat2.log).  The q/k caches fill
+        # incrementally instead: ik==0 sweeps every iq once (iq is the
+        # inner grid dim), iq==0 visits every ik once.
+        @pl.when(ik == 0)
+        def _cache_q():
+            qb = q_ref[0]                                # [bq, dpair]
+            if has_rope:
+                qb = halves(qb, lambda x, _: _rope_tile(
+                    x, cos_ref[slq, :] * qscale, sin_ref[slq, :] * qscale))
+                qs[slq, :] = qb
+            else:
+                qs[slq, :] = (qb.astype(jnp.float32)
+                              * qscale).astype(qs.dtype)
+
+        if has_rope:
+            @pl.when(iq == 0)
+            def _cache_k():
+                kr[slk, :] = halves(k_ref[0], lambda x, _: _rope_tile(
+                    x, cos_ref[slk, :], sin_ref[slk, :]))
+
+        kt = kr[slk, :] if has_rope else k_ref[0]        # [bk, hpb*dh]
+        vt = v_ref[0]
+        dot_ = do_ref[0]
     qt = qs[slq, :]                                      # [bq, hpb*dh] scaled
-    kt = kr[slk, :] if has_rope else rd(k_ref, slk)      # [bk, hpb*dh]
-    vt = rd(v_ref, slk)
-    dot_ = rd(do_ref, slq)
 
     if need_mask:
         # kv-validity as a [bk, 1] penalty COLUMN broadcast-added to the
@@ -1107,7 +1135,7 @@ def _bwd_flat_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
         if bhsd:
             dq_ref[0, 0, slq, :] = g.astype(dq_ref.dtype)
         else:
-            dq_ref[0, slq, :] = g.astype(dq_ref.dtype)
+            dq_ref[0] = g.astype(dq_ref.dtype)   # per-iq output block
 
     @pl.when(iq == num_q_blocks - 1)       # kv slice complete
     def _store_dkv():
@@ -1163,16 +1191,23 @@ def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
         kv_spec = pl.BlockSpec((1, 1, block_k, d),
                                lambda b_, hp, ik, iq: (b_, hp, ik, 0))
         out_shape = (b, heads, s_pad, d)
+        in_specs_qkvdo = [full_spec] * 4
+        dq_spec = full_spec
     else:
-        full_spec = pl.BlockSpec((1, s_pad, dpair),
-                                 lambda b_, hp, ik, iq: (b_, 0, hp))
+        # per-block IO windows (the whole-seq windows double-buffer to
+        # ~38 MB x2 and blew the 128 MB scoped-VMEM stack at dpair=128 —
+        # runs/chip_r5/depth14_flat2.log); q/do stream per iq, k/v per ik
+        q_spec = pl.BlockSpec((1, block_q, dpair),
+                              lambda b_, hp, ik, iq: (b_, iq, hp))
         kv_spec = pl.BlockSpec((1, block_k, dpair),
                                lambda b_, hp, ik, iq: (b_, ik, hp))
         out_shape = (b, s_pad, heads * d)
+        in_specs_qkvdo = [q_spec, kv_spec, kv_spec, q_spec]
+        dq_spec = q_spec
     row_spec = pl.BlockSpec((1, 1, hpb, s_pad),
                             lambda b_, hp, ik, iq: (b_, hp, 0, 0))
 
-    in_specs = [full_spec] * 4 + [row_spec, row_spec]
+    in_specs = in_specs_qkvdo + [row_spec, row_spec]
     # exp2 fold: lse pre-multiplied by log2(e) so the kernel's p^T needs no
     # per-tile multiply.  Clamp first: the padded-row fill is -NEG_INF
     # (+3.4e38) and *LOG2E would overflow fp32 to +inf — exp2(finite - inf)
@@ -1200,7 +1235,7 @@ def _bwd_flat_impl(q, k, v, do, lse_c, delta_c, heads: int, rope,
         out_shape=[jax.ShapeDtypeStruct(out_shape, q.dtype)] * 3,
         grid=(b, heads // hpb, nk, nq),
         in_specs=in_specs,
-        out_specs=[full_spec, kv_spec, kv_spec],
+        out_specs=[dq_spec, kv_spec, kv_spec],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel",
@@ -1494,11 +1529,8 @@ def _flash_flat_bwd(heads, sm_scale, kv_len, block_q, block_k, interpret,
     q, k, v, o, lse, cos, sin = res
     b, s, hd = q.shape
     d = hd // heads
-    # flat bwd runs hpb=2 (two heads per cell): its per-cell tiles are 2x
-    # the bhsd sweep's — 1024x1024 needs 126M scoped VMEM (> the 100M
-    # allowance, runs/chip_r5/depth14_flat2.log); 1024x512 fits
     bq = min(block_q, BWD_BLOCK_Q)
-    bk = min(block_k, BWD_BLOCK_K // 2)
+    bk = min(block_k, BWD_BLOCK_K)
     s_pad = _round_up(s, max(bq, bk))
     # delta = rowsum(o * do) per head, computed in XLA (o stays out of the
     # backward kernel); [B, S, heads] -> compact [B, H//hpb, hpb, S_pad]

@@ -69,6 +69,36 @@ def main():
         finally:
             gf.clear_cache()
     fa.COMBINED_BWD = True
+
+    # FLAT training layout (round 5: the production path keeps q/k/v
+    # [B, S, H*D] end to end — per-block bwd IO, no bhsd residual copies)
+    qf = q.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    dof = do.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    def grad_fn_flat(q_, k_, v_, do_):
+        f = lambda a, bb, c: fa._flash_flat(a, bb, c, cos, sin, h,
+                                            d ** -0.5, kv_len, bq, bk, False)
+        _, vjp = jax.vjp(f, q_, k_, v_)
+        return vjp(do_)[:3]
+
+    gff = jax.jit(grad_fn_flat)
+    try:
+        dq, dk, dv = gff(qf, kf, vf, dof)
+        float(dq[0, 0, 0])
+        n = 6
+        t0 = time.perf_counter()
+        for _ in range(n):
+            dq, dk, dv = gff(qf, kf, dv.astype(vf.dtype),
+                             dq.astype(dof.dtype))
+        float(dq[0, 0, 0])
+        dt = (time.perf_counter() - t0) / n
+        out["flat"] = dict(ms=round(dt * 1e3, 1),
+                           tf_s=round(flops / dt / 1e12, 1))
+    except Exception as e:
+        out["flat"] = dict(error=str(e).split(chr(10))[0][:160])
+    print(out["flat"], flush=True)
     print(json.dumps({"bq": bq, "bk": bk, **out}))
 
 
