@@ -23,6 +23,7 @@ SURVEY.md §2.9); RoPE application semantics follow diffusers
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -555,11 +556,45 @@ def _fwd_flat_impl(q, k, v, heads: int, rope, sm_scale: float, kv_len: int,
     return res[0]
 
 
+def _fwd_flat_t_store(acc_refs, qc_ref, o_ref, dh, hpb, out_transposed,
+                      num_kv_blocks, ik):
+    """Final-kv-block store shared by the staged and pipelined schedules:
+    normalise by the ones-row row-sum and either keep the accumulator's
+    [dh, bq] orientation (`out_transposed`) or rotate with an exact eye
+    matmul."""
+    @pl.when(ik == num_kv_blocks - 1)
+    def _store():
+        if out_transposed:
+            outs = []
+            for acc_ref in acc_refs:
+                l_fin = acc_ref[dh:dh + 1, :]    # [1, bq]
+                inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+                outs.append((acc_ref[:dh, :] * inv).astype(o_ref.dtype))
+            out = jnp.concatenate(outs, axis=0) if hpb > 1 else outs[0]
+            o_ref[0] = out
+            return
+        bq = qc_ref.shape[0]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
+               ).astype(o_ref.dtype)
+        outs = []
+        for acc_ref in acc_refs:
+            l_fin = acc_ref[dh:dh + 1, :]        # [1, bq]
+            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            xs = (acc_ref[:dh, :] * inv).astype(o_ref.dtype)   # [dh, bq]
+            outs.append(jax.lax.dot_general(
+                eye, xs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
 def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
                        out_transposed: bool = False, static_max: bool = False,
                        need_q_mask: bool, block_k: int,
                        num_kv_blocks: int, need_mask: bool, has_rope: bool,
-                       has_qk_norm: bool, dh: int, hpb: int):
+                       has_qk_norm: bool, dh: int, hpb: int,
+                       pipeline_chunks: int = 1):
     """Transposed-PV flat forward (inference).
 
     Layout rationale (measured, runs/chip_r4): both matmuls of the regular
@@ -658,6 +693,46 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
 
     kblk = kc_ref[pl.ds(ik * block_k, block_k), :]
     qall = qc_ref[...]
+
+    if static_max and pipeline_chunks > 1:
+        # SOFTWARE-PIPELINED schedule (static-max only): split the q lanes
+        # into `pipeline_chunks` independent (head, chunk) units and emit
+        #   st[i+1] (MXU) ; p[i] = exp2 (VPU) ; pv[i] (MXU) ; ...
+        # so each exp2 pass sits BETWEEN two matmuls it does not depend on
+        # — Mosaic issues per-unit in order, so program order is the only
+        # overlap control we have.  The plain staged form (all sts, all
+        # exps, all pvs) leaves the MXU idle for the whole ~12-15 ms/call
+        # exp2 pass; here only the first chunk's exp2 is exposed.
+        nc = pipeline_chunks
+        bqc = qall.shape[0] // nc
+        mm = mb_ref[0, 0]
+        vts = [jnp.concatenate([vt[h * dh:(h + 1) * dh], valid], axis=0)
+               for h in range(hpb)]
+        units = [(h, c) for h in range(hpb) for c in range(nc)]
+
+        def issue_st(u):
+            h, c = u
+            sl = slice(h * dh, (h + 1) * dh)
+            return jax.lax.dot_general(
+                kblk[:, sl], qall[c * bqc:(c + 1) * bqc, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bk, bqc]
+
+        st_buf = {units[0]: issue_st(units[0])}
+        for i, u in enumerate(units):
+            if i + 1 < len(units):
+                st_buf[units[i + 1]] = issue_st(units[i + 1])
+            h, c = u
+            p = jnp.exp2(st_buf.pop(u) - mm).astype(vt.dtype)
+            pv = jax.lax.dot_general(
+                vts[h], p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [dh+1, bqc]
+            cs = pl.ds(c * bqc, bqc)
+            acc_refs[h][:, cs] = acc_refs[h][:, cs] + pv
+        _fwd_flat_t_store(acc_refs, qc_ref, o_ref, dh, hpb, out_transposed,
+                          num_kv_blocks, ik)
+        return
+
     # STAGED over the head pair: issue BOTH score matmuls first, then both
     # softmax passes, then both PV matmuls — the per-head st(MXU) ->
     # exp2(VPU) -> pv(MXU) chain is serial, but head 1's matmuls are
@@ -709,43 +784,16 @@ def _fwd_flat_t_kernel(*refs, sm_scale: float, kv_len: int, block_q: int,
         else:
             acc_ref[...] = acc_ref[...] * alphas[h] + pv
 
-    @pl.when(ik == num_kv_blocks - 1)
-    def _store():
-        if out_transposed:
-            # o stays [dh, bq]: no rotate at all — stacked heads give the
-            # [dpair, bq] block of the [B, H*D, S] output, and the caller's
-            # to_out matmul contracts H*D (the transpose folds into the dot)
-            outs = []
-            for acc_ref in acc_refs:
-                l_fin = acc_ref[dh:dh + 1, :]    # [1, bq]
-                inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-                outs.append((acc_ref[:dh, :] * inv).astype(o_ref.dtype))
-            out = jnp.concatenate(outs, axis=0) if hpb > 1 else outs[0]
-            o_ref[0] = out
-            return
-        bq = qc_ref.shape[0]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0) ==
-               jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
-               ).astype(o_ref.dtype)
-        outs = []
-        for acc_ref in acc_refs:
-            l_fin = acc_ref[dh:dh + 1, :]        # [1, bq]
-            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-            xs = (acc_ref[:dh, :] * inv).astype(o_ref.dtype)   # [dh, bq]
-            # MXU rotate [dh, bq] -> [bq, dh]: eye is 0/1 so the product
-            # is exact in the fp32 accumulator
-            outs.append(jax.lax.dot_general(
-                eye, xs, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        out = jnp.concatenate(outs, axis=1) if hpb > 1 else outs[0]
-        o_ref[0] = out.astype(o_ref.dtype)
+    _fwd_flat_t_store(acc_refs, qc_ref, o_ref, dh, hpb, out_transposed,
+                      num_kv_blocks, ik)
 
 
 def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
                      kv_len: int, block_q: int, block_k: int,
                      interpret: bool, qk_norm=None,
                      out_transposed: bool = False,
-                     static_max: Optional[bool] = None):
+                     static_max: Optional[bool] = None,
+                     pipeline_chunks: Optional[int] = None):
     """q/k: [B, S, H*D] flat; vt: [B, H*D, S] (pre-transposed V).
     Returns [B, S, H*D], or [B, H*D, S] when `out_transposed` (the
     accumulator's natural orientation: skips the in-kernel eye-matmul
@@ -775,12 +823,21 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
         mb = (bound(gq, bq_) * bound(gk, bk_)
               * sm_scale * LOG2E).reshape(1, 1)
 
+    if pipeline_chunks is None:
+        pipeline_chunks = int(os.environ.get("BYA_FLAT_T_CHUNKS", "2"))
+    # lane-slice alignment: each chunk's q-lane width must be a multiple of
+    # 128 (and divide block_q); fall back to the unchunked schedule otherwise
+    while pipeline_chunks > 1 and (block_q % pipeline_chunks
+                                   or (block_q // pipeline_chunks) % 128):
+        pipeline_chunks -= 1
+
     kernel = functools.partial(
         _fwd_flat_t_kernel, sm_scale=sm_scale, kv_len=kv_len,
         block_q=block_q, need_q_mask=kv_len < nq * block_q,
         out_transposed=out_transposed, static_max=static_max,
         block_k=block_k, num_kv_blocks=nk, need_mask=kv_len < nk * block_k,
-        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb)
+        has_rope=has_rope, has_qk_norm=qk_norm is not None, dh=d, hpb=hpb,
+        pipeline_chunks=pipeline_chunks)
 
     dpair = hpb * d
     qi = lambda b_, hp, iq, ik: (b_, iq, hp)

@@ -224,32 +224,42 @@ def _tiny_impl(q, k, v, heads, sm_scale):
 # the minor dims, and the 2-way softmax runs as closed-form VPU ops.
 
 def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, sm_scale: float):
+    """MXU segment-reduce form.  The old per-head form lane-SLICED q/k/v at
+    64-lane offsets (sub-vreg shuffles) and reduced each slice on the VPU —
+    measured 109 GB/s effective, ~7x off the HBM roofline.  Here the
+    per-head q.k dots are ONE full-width elementwise product followed by a
+    [C, 128] head-indicator matmul (full 512-deep systolic contraction),
+    and the per-head sigmoid weights broadcast back to their channels with
+    the transposed indicator — no sub-128-lane slicing anywhere."""
     _, _, r, c = q_ref.shape
     dh = c // heads
-    q = q_ref[0]                                     # [2, rows, C]
-    k = k_ref[0]
-    v = v_ref[0]
-    o0s, o1s = [], []
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q0 = q[0, :, sl].astype(jnp.float32) * sm_scale
-        q1 = q[1, :, sl].astype(jnp.float32) * sm_scale
-        k0 = k[0, :, sl].astype(jnp.float32)
-        k1 = k[1, :, sl].astype(jnp.float32)
-        s00 = jnp.sum(q0 * k0, -1, keepdims=True)    # [rows, 1]
-        s01 = jnp.sum(q0 * k1, -1, keepdims=True)
-        s10 = jnp.sum(q1 * k0, -1, keepdims=True)
-        s11 = jnp.sum(q1 * k1, -1, keepdims=True)
-        # closed-form 2-way softmax weights (per query row)
-        w01 = 1.0 / (1.0 + jnp.exp(s00 - s01))       # sigmoid(s01 - s00)
-        w11 = 1.0 / (1.0 + jnp.exp(s10 - s11))
-        v0 = v[0, :, sl].astype(jnp.float32)
-        v1 = v[1, :, sl].astype(jnp.float32)
-        o0s.append(v0 + w01 * (v1 - v0))             # lerp = p00*v0 + p01*v1
-        o1s.append(v0 + w11 * (v1 - v0))
-    cat = lambda xs: jnp.concatenate(xs, axis=-1) if heads > 1 else xs[0]
-    o_ref[0, 0] = cat(o0s).astype(o_ref.dtype)
-    o_ref[0, 1] = cat(o1s).astype(o_ref.dtype)
+    f32 = jnp.float32
+    q = q_ref[0].astype(f32) * sm_scale              # [2, rows, C]
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    # head indicator seg[ch, h] = 1 iff ch // dh == h (in-register iota;
+    # lanes h >= heads stay all-zero and drop out of both matmuls)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    seg = (ci // dh == hi).astype(f32)               # [C, 128]
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (128, c), 1)
+    hi2 = jax.lax.broadcasted_iota(jnp.int32, (128, c), 0)
+    seg_t = (ci2 // dh == hi2).astype(f32)           # [128, C]
+    dots = lambda a, b: jax.lax.dot_general(
+        a * b, seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                  # [rows, 128]
+    s00 = dots(q[0], k[0])
+    s01 = dots(q[0], k[1])
+    s10 = dots(q[1], k[0])
+    s11 = dots(q[1], k[1])
+    # closed-form 2-way softmax weights (per query row, per head lane)
+    w01 = 1.0 / (1.0 + jnp.exp(s00 - s01))           # sigmoid(s01 - s00)
+    w11 = 1.0 / (1.0 + jnp.exp(s10 - s11))
+    bcast = lambda w: jax.lax.dot_general(
+        w, seg_t, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    dv = v[1] - v[0]
+    o_ref[0, 0] = (v[0] + bcast(w01) * dv).astype(o_ref.dtype)
+    o_ref[0, 1] = (v[0] + bcast(w11) * dv).astype(o_ref.dtype)
 
 
 def _pair_spec(q, k, v, heads, sm_scale):

@@ -598,6 +598,21 @@ def test_flash_flat_t_static_max_matches_running_max():
                              out_transposed=True)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(got_t, 1, 2)),
                                np.asarray(want), atol=3e-5, rtol=1e-4)
+    # software-pipelined (head, q-chunk) schedule == staged schedule —
+    # block_q=256 so each of the 2 chunks is a 128-lane slice, with a
+    # non-dividing boundary block (s=320) exercising the q-row mask
+    args256 = (q, k, vt, h, rope_t, d ** -0.5, kv, 256, 128, True)
+    want_p = _fwd_flat_t_impl(*args256, qk_norm=qk_norm, static_max=True,
+                              pipeline_chunks=1)
+    got_p = _fwd_flat_t_impl(*args256, qk_norm=qk_norm, static_max=True,
+                             pipeline_chunks=2)
+    assert np.isfinite(np.asarray(got_p)).all()
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=3e-5, rtol=1e-4)
+    got_pt = _fwd_flat_t_impl(*args256, qk_norm=qk_norm, static_max=True,
+                              pipeline_chunks=2, out_transposed=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got_pt, 1, 2)),
+                               np.asarray(want_p), atol=3e-5, rtol=1e-4)
 
 
 def test_flash_flat_no_norm_no_rope():

@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_step(n_devices: int, sample_frames: int, num_layers: int = 2,
              seed: int = 0, remat: bool = True,
-             batch_size: int | None = None):
+             batch_size: int | None = None,
+             param_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -45,9 +46,14 @@ def run_step(n_devices: int, sample_frames: int, num_layers: int = 2,
     from bindyouravatar_tpu.parallel.mesh import create_mesh
     from bindyouravatar_tpu.training.trainer import Trainer
 
+    # bf16 storage (fp32 compute) for the 42-layer artifact runs: fp32
+    # params + adam moments at full depth are ~120 GB of host RAM on the
+    # virtual mesh; bf16 matches the single-chip training configuration
+    # (ROADMAP round-3: bf16 params+moments) and halves the footprint.
+    pdt = jnp.bfloat16 if param_dtype == "bfloat16" else jnp.float32
     cfg = DiTConfig(num_layers=num_layers, sample_frames=sample_frames,
                     remat=remat, remat_policy="nested" if remat else None,
-                    dtype=jnp.float32, param_dtype=jnp.float32,
+                    dtype=jnp.float32, param_dtype=pdt,
                     use_flash_attention=False)
     dit = DiT.create(cfg)
     trainer = Trainer(dit=dit, schedule=Schedule.create(SchedulerConfig()),
@@ -123,6 +129,10 @@ def main(argv=None):
                     help="only run the replica-equality check")
     ap.add_argument("--skip_equality", action="store_true",
                     help="only run the full step (42L artifact runs)")
+    ap.add_argument("--param_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="param/opt-state storage dtype for the full step "
+                         "(compute stays fp32); bfloat16 for 42L host-RAM fit")
     args = ap.parse_args(argv)
 
     from __graft_entry__ import _force_cpu_devices
@@ -154,7 +164,8 @@ def main(argv=None):
         # the full-sequence flagship-geometry step
         print(f"[numerics] full step ({args.frames} pixel frames, "
               f"{args.layers} layers)...", flush=True)
-        rf = run_step(2, args.frames, num_layers=args.layers)
+        rf = run_step(2, args.frames, num_layers=args.layers,
+                      param_dtype=args.param_dtype)
         rf["ok"] = bool(np.isfinite(rf["loss"])
                         and np.isfinite(rf["grad_norm"]))
         report["full_sequence_fsdp2"] = rf

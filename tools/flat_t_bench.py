@@ -47,6 +47,44 @@ def main():
         _ = float(out[0, 0, 0])
         return (time.perf_counter() - t0) / n, out
 
+    if "--chunk_sweep" in sys.argv:
+        # pipelined-schedule sweep: flat_t only, chunks x a small block grid
+        ref = None
+        results = []
+        # nc=1 at these blocks already measured (runs/chip_r5/flat_t_chunks
+        # .log: 42.8-43.5 ms); remote compiles are ~6 min each, so sweep
+        # only the pipelined schedules at the two best block configs
+        for nc in (2, 3, 4):
+            for bq, bk in ((1536, 1536), (1536, 3072)):
+                if bq % nc or (bq // nc) % 128:
+                    continue
+                f = jax.jit(lambda q, k, vt, bq=bq, bk=bk, nc=nc:
+                            _fwd_flat_t_impl(
+                                q, k, vt, h, (cos, sin), d ** -0.5,
+                                kv_len, bq, bk, False, qk_norm=qk_norm,
+                                pipeline_chunks=nc))
+                try:
+                    dt, out = timeit(f, q, k, vt)
+                except Exception as e:
+                    print(dict(nc=nc, bq=bq, bk=bk,
+                               error=str(e).split(chr(10))[0][:120]),
+                          flush=True)
+                    continue
+                if ref is None:
+                    ref = out
+                    err = 0.0
+                else:
+                    err = float(jnp.max(jnp.abs(
+                        out[:, :kv_len].astype(jnp.float32)
+                        - ref[:, :kv_len].astype(jnp.float32))))
+                r = dict(nc=nc, bq=bq, bk=bk, ms=round(dt * 1e3, 1),
+                         tf_s=round(flops / dt / 1e12, 1), maxdiff=err)
+                results.append(r)
+                print(r, flush=True)
+        best = min(results, key=lambda r: r["ms"])
+        print(json.dumps({"best": best}))
+        return
+
     results = []
     ref_out = None
     for bq, bk in itertools.product((1024, 1536, 2048, 3072), repeat=2):
