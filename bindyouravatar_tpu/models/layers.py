@@ -24,11 +24,23 @@ class LayerNorm(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     fused: bool = False
+    # memory-lean custom vjp (ops/layernorm.lean_layernorm): saves bf16
+    # input + squeezed fp32 stats, closed-form backward — for norms whose
+    # autodiff fp32 temps dominate the training live set (per-head QK norms)
+    lean: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
+        if self.lean and self.use_scale and self.use_bias:
+            from ..ops.layernorm import lean_layernorm
+
+            scale = self.param("scale", nn.initializers.ones, (d,),
+                               self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (d,),
+                              self.param_dtype)
+            return lean_layernorm(x, scale, bias, self.eps)
         if self.fused and self.use_scale and self.use_bias:
             # single-pass Pallas LN on TPU (bf16 read + fp32 stats + bf16
             # write in VMEM) — XLA's lowering materialises a fp32 convert
@@ -285,8 +297,14 @@ class JointSelfAttention(nn.Module):
         # keeps the outside LN.
         qk_aff = None
         if self.qk_norm:
-            q = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_q")(q)
-            k = LayerNorm(eps=1e-6, param_dtype=self.param_dtype, name="norm_k")(k)
+            # lean vjp: autodiff through the fp32 LN spec keeps ~9 fp32
+            # [S, H*D] sub/mul/broadcast temps live per block backward
+            # (1.9 GB at flagship geometry — the depth-14 single-chip
+            # limiter, runs/chip_r5/depth14_flat4.log)
+            q = LayerNorm(eps=1e-6, lean=True,
+                          param_dtype=self.param_dtype, name="norm_q")(q)
+            k = LayerNorm(eps=1e-6, lean=True,
+                          param_dtype=self.param_dtype, name="norm_k")(k)
 
         if sp_mesh is not None:
             # sequence-parallel ring attention over the `sp` mesh axis —

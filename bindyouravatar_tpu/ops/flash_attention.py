@@ -824,7 +824,12 @@ def _fwd_flat_t_impl(q, k, vt, heads: int, rope, sm_scale: float,
               * sm_scale * LOG2E).reshape(1, 1)
 
     if pipeline_chunks is None:
-        pipeline_chunks = int(os.environ.get("BYA_FLAT_T_CHUNKS", "2"))
+        # chip sweep (runs/chip_r5/flat_t_chunks*.log): the pipelined
+        # (head, q-chunk) schedule never beats the plain one at the model
+        # shape (nc=2: 43.9 ms vs nc=1: 43.1 at bk=1536; equal at bk=3072)
+        # — Mosaic already overlaps the exp2 VPU pass with the next score
+        # matmul.  Keep the schedule available for sweeps via env.
+        pipeline_chunks = int(os.environ.get("BYA_FLAT_T_CHUNKS", "1"))
     # lane-slice alignment: each chunk's q-lane width must be a multiple of
     # 128 (and divide block_q); fall back to the unchunked schedule otherwise
     while pipeline_chunks > 1 and (block_q % pipeline_chunks
@@ -1689,6 +1694,14 @@ def flash_attention(
         bk = min(block_k, 1536 if cos is not None else block_k, s128)
         if bq % bk:
             bk = bq
+        if (v_transposed and cos is not None and bq == 1536
+                and block_k >= 1536 and s128 % 3072 == 0):
+            # transposed-PV sweep optimum (runs/chip_r5/flat_t_chunks.log):
+            # bk=3072 is 42.8 ms / 90.8 TF/s vs 43.1 at 1536 — the flat_t
+            # kernel's VMEM footprint (stats as [1,bq] lane rows, no alpha
+            # rescale buffers under static-max) leaves room for the wider
+            # kv tile that the regular flat kernel's rope cap does not.
+            bk = 3072
         rope_t = None if cos is None else (cos, sin)
         if v_transposed:
             return _fwd_flat_t_impl(q, k, v, heads, rope_t, float(scale),

@@ -88,11 +88,75 @@ def _ln_fwd(x, scale, bias, eps):
     return _ln_impl(x, scale, bias, eps), (x, scale, bias)
 
 
+def _ln_closed_bwd(x, scale, g, eps, mu=None, r=None):
+    """Closed-form LN backward (analytic vjp of `_ln_ref`):
+        x̂ = (x - μ)·r,  gy = g·scale
+        dx = r·(gy - mean(gy) - x̂·mean(gy·x̂))
+        dscale = Σ g·x̂,  dbias = Σ g
+    Emitting dx in x.dtype directly keeps the backward's live set bf16 —
+    autodiff through the fp32 spec instead materialises several fp32
+    [.., S, D] temps (sub/mul/broadcast), the depth-14 single-chip HBM
+    limiter (runs/chip_r5/depth14_flat4.log: 9 x 216 MB)."""
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    if mu is None:
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * r
+    gy = g32 * scale.astype(jnp.float32)
+    mg = jnp.mean(gy, axis=-1, keepdims=True)
+    mgx = jnp.mean(gy * xhat, axis=-1, keepdims=True)
+    dx = (r * (gy - mg - xhat * mgx)).astype(x.dtype)
+    axes = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(g32 * xhat, axis=axes).astype(scale.dtype)
+    dbias = jnp.sum(g32, axis=axes)
+    return dx, dscale, dbias
+
+
 def _ln_bwd(eps, res, g):
     x, scale, bias = res
-    _, vjp = jax.vjp(lambda x_, s_, b_: _ln_ref(x_, s_, b_, eps),
-                     x, scale, bias)
-    return vjp(g)
+    dx, dscale, dbias = _ln_closed_bwd(x, scale, g, eps)
+    return dx, dscale, dbias.astype(bias.dtype)
 
 
 fused_layernorm.defvjp(_ln_fwd, _ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lean_layernorm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the last dim with a MEMORY-LEAN vjp: the forward
+    saves only the (bf16) input plus the squeezed fp32 stats ([...]-shaped
+    μ and rsqrt — keepdims stats of a [.., H, 1] trailing dim would
+    lane-pad 1 -> 128, a 453 MB write at the QK-norm shape), and the
+    backward is the closed form above.  Used for the DiT training path's
+    per-head QK norms where autodiff's fp32 temp chain was the single-chip
+    depth limiter; math identical to `models.layers.LayerNorm`."""
+    y, _, _ = _lean_fwd_math(x, scale, bias, eps)
+    return y
+
+
+def _lean_fwd_math(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    y = (xc * r * scale.astype(jnp.float32)
+         + bias.astype(jnp.float32)).astype(x.dtype)
+    return y, mu[..., 0], r[..., 0]
+
+
+def _lean_fwd(x, scale, bias, eps):
+    y, mu, r = _lean_fwd_math(x, scale, bias, eps)
+    return y, (x, scale, bias, mu, r)
+
+
+def _lean_bwd(eps, res, g):
+    x, scale, bias, mu, r = res
+    dx, dscale, dbias = _ln_closed_bwd(x, scale, g, eps,
+                                       mu=mu[..., None], r=r[..., None])
+    return dx, dscale, dbias.astype(bias.dtype)
+
+
+lean_layernorm.defvjp(_lean_fwd, _lean_bwd)

@@ -76,10 +76,18 @@ class InferenceServer:
     `batch_max > 1` enables cross-clip request batching: queued prepared
     requests with identical tensor shapes are stacked along the batch axis
     into ONE denoise launch (amortises the per-step weight reads — the HBM
-    bound — across clips).  Intended for TP-sharded serving where the mesh
-    has activation headroom (ROADMAP #6); the per-request noise then derives
-    from each request's own seed via explicit init latents, but the in-loop
-    SDE noise key is shared (documented divergence from sequential runs).
+    bound — across clips).  The per-request noise then derives from each
+    request's own seed via explicit init latents, but the in-loop SDE noise
+    key is shared (documented divergence from sequential runs).
+
+    MEASURED VERDICT (default stays 1): on one v5e the flagship step is
+    compute-bound, not weight-read-bound — the depth-12 probe gives a
+    per-request speedup of only 1.04 at batch 2 (runs/chip_r4/serve.log),
+    and at the full 42 layers batch-2 activations + the 13.4 GiB of weights
+    do not fit one chip's HBM at all (the reason bench.py runs its CFG
+    halves sequentially).  Batching earns its keep only on TP-sharded
+    meshes with activation headroom, where the per-chip weight shard
+    shrinks and the step tips toward the HBM bound.
     """
 
     def __init__(self, pipeline, params: Dict[str, Any],

@@ -88,3 +88,54 @@ def test_models_layernorm_uses_fused_path():
     ref = _ln_ref(x, scale, bias, 1e-5)
     np.testing.assert_allclose(np.asarray(y, jnp.float32),
                                np.asarray(ref, jnp.float32), atol=1e-2)
+
+
+def test_lean_layernorm_matches_spec_and_grads():
+    """lean_layernorm (memory-lean vjp: bf16 input + squeezed stats saved,
+    closed-form backward) == the fp32 spec, forward and grads, at the
+    per-head QK-norm geometry ([B, S, H, dh])."""
+    from bindyouravatar_tpu.ops.layernorm import lean_layernorm
+
+    eps = 1e-6
+    ks = jax.random.split(jax.random.key(7), 3)
+    x = jax.random.normal(ks[0], (2, 24, 4, 64), jnp.float32)
+    scale = 1.0 + 0.2 * jax.random.normal(ks[1], (64,))
+    bias = 0.2 * jax.random.normal(ks[2], (64,))
+
+    out = lean_layernorm(x, scale, bias, eps)
+    ref = _ln_ref(x, scale, bias, eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def loss_f(fn):
+        return lambda x_, s_, b_: jnp.sum(jnp.sin(fn(x_, s_, b_, eps)))
+
+    g1 = jax.grad(loss_f(lean_layernorm), argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_f(_ln_ref), argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    # bf16 activations: cotangent dtype follows the primal (bf16 dx), and
+    # values match the fp32-spec grads to bf16 tolerance
+    xb = x.astype(jnp.bfloat16)
+    g3 = jax.grad(lambda x_: jnp.sum(
+        lean_layernorm(x_, scale, bias, eps).astype(jnp.float32) ** 2))(xb)
+    assert g3.dtype == jnp.bfloat16
+    g4 = jax.grad(lambda x_: jnp.sum(
+        _ln_ref(x_, scale, bias, eps).astype(jnp.float32) ** 2))(xb)
+    np.testing.assert_allclose(np.asarray(g3, jnp.float32),
+                               np.asarray(g4, jnp.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_models_layernorm_lean_flag():
+    """models.layers.LayerNorm(lean=True) routes through lean_layernorm
+    with the same param tree and output."""
+    from bindyouravatar_tpu.models.layers import LayerNorm
+
+    x, scale, bias = _mk((2, 13), 128, jnp.bfloat16, seed=5)
+    y = LayerNorm(eps=1e-5, lean=True).apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    ref = _ln_ref(x, scale, bias, 1e-5)
+    np.testing.assert_allclose(np.asarray(y, jnp.float32),
+                               np.asarray(ref, jnp.float32), atol=1e-2)
