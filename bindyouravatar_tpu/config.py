@@ -276,6 +276,9 @@ class TrainConfig:
     """Stage-3 trainer config (reference `sft.sh` + `util/utils.py:25-479`)."""
     learning_rate: float = 1e-5
     optimizer: str = "adamw"   # "adamw" | "adafactor" (TPU-native) | "prodigy"
+    # 8-bit adam (reference train.py:244-279, bnb AdamW8bit): block-wise
+    # int8 optimizer state — see training/adam8bit.py for the TPU design
+    use_8bit_adam: bool = False
     # prodigy knobs (reference `train.py:296-307` / `util/utils.py` flags)
     prodigy_beta3: Optional[float] = None
     prodigy_decouple: bool = True

@@ -89,6 +89,11 @@ def _base_opt(cfg: TrainConfig, lr_mult: float = 1.0) -> optax.GradientTransform
     sched = make_lr_schedule(cfg)
     lr = (lambda c: sched(c) * lr_mult) if lr_mult != 1.0 else sched
     if cfg.optimizer == "adamw":
+        if cfg.use_8bit_adam:   # reference train.py:244-279 (bnb AdamW8bit)
+            from .adam8bit import adamw8bit
+            return adamw8bit(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                             eps=cfg.adam_epsilon,
+                             weight_decay=cfg.weight_decay)
         return optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                            eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay)
     if cfg.optimizer == "adafactor":   # TPU-native low-memory choice
@@ -101,8 +106,7 @@ def _base_opt(cfg: TrainConfig, lr_mult: float = 1.0) -> optax.GradientTransform
                        decouple=cfg.prodigy_decouple,
                        use_bias_correction=cfg.prodigy_use_bias_correction,
                        safeguard_warmup=cfg.prodigy_safeguard_warmup)
-    raise ValueError(f"unknown optimizer {cfg.optimizer} "
-                     "(8-bit adam has no optax equivalent; use adamw)")
+    raise ValueError(f"unknown optimizer {cfg.optimizer}")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

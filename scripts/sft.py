@@ -34,6 +34,9 @@ def get_args(argv=None):
                         "(reference dataloader.py:995-996, default off)")
     p.add_argument("--optimizer", choices=["adamw", "adafactor", "prodigy"],
                    default="adamw")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="block-wise int8 optimizer state (reference "
+                        "train.py:244-279; training/adam8bit.py)")
     p.add_argument("--prodigy_beta3", type=float, default=None)
     p.add_argument("--prodigy_decouple", type=bool, default=True)
     p.add_argument("--prodigy_use_bias_correction", type=bool, default=False)
@@ -96,7 +99,8 @@ def main(argv=None):
 
     cfg = TrainConfig(
         learning_rate=args.learning_rate, max_train_steps=args.max_train_steps,
-        optimizer=args.optimizer, prodigy_beta3=args.prodigy_beta3,
+        optimizer=args.optimizer, use_8bit_adam=args.use_8bit_adam,
+        prodigy_beta3=args.prodigy_beta3,
         prodigy_decouple=args.prodigy_decouple,
         prodigy_use_bias_correction=args.prodigy_use_bias_correction,
         prodigy_safeguard_warmup=args.prodigy_safeguard_warmup,

@@ -34,6 +34,7 @@ for j in $JOBS; do
     e2e)     run_job e2e     3000 python tools/e2e_flagship_smoke.py 4 ;;
     depth12) run_job depth12 2400 python tools/train_bench.py 12 adamw nested ;;
     depth14) run_job depth14 2400 python tools/train_bench.py 14 adamw nested ;;
+    depth16) run_job depth16 2400 python tools/train_bench.py 16 adamw nested ;;
     bwd)     run_job bwd     1800 python tools/bwd_bench.py ;;
     serve)   run_job serve   1800 python tools/serve_batch_bench.py ;;
     profile) run_job profile 1800 python tools/profile_step.py ;;
