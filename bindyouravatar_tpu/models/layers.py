@@ -184,6 +184,29 @@ class _Affine(nn.Module):
         return s, b
 
 
+class HeadLayerNorm(nn.Module):
+    """LN over the trailing head dim of [..., H, dh] with the affine
+    shared across heads (the reference's per-head q_norm/k_norm).  Routes
+    through `ops.layernorm.head_layernorm`: Pallas fwd+bwd on the flat
+    [..., H*dh] view (free bitcast) — no fp32 [S, H*dh] HBM temps in the
+    training backward.  Param tree identical to LayerNorm (scale/bias
+    of [dh])."""
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.layernorm import head_layernorm
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (d,),
+                          self.param_dtype)
+        flat = x.reshape(x.shape[:-2] + (x.shape[-2] * d,))
+        return head_layernorm(flat, scale, bias, self.eps).reshape(x.shape)
+
+
 class JointSelfAttention(nn.Module):
     """CogVideoX joint text+video self-attention.
 
@@ -297,14 +320,16 @@ class JointSelfAttention(nn.Module):
         # keeps the outside LN.
         qk_aff = None
         if self.qk_norm:
-            # lean vjp: autodiff through the fp32 LN spec keeps ~9 fp32
-            # [S, H*D] sub/mul/broadcast temps live per block backward
-            # (1.9 GB at flagship geometry — the depth-14 single-chip
-            # limiter, runs/chip_r5/depth14_flat4.log)
-            q = LayerNorm(eps=1e-6, lean=True,
-                          param_dtype=self.param_dtype, name="norm_q")(q)
-            k = LayerNorm(eps=1e-6, lean=True,
-                          param_dtype=self.param_dtype, name="norm_k")(k)
+            # Pallas per-head LN (MXU segment stats) fwd AND bwd: the XLA
+            # backward of the fp32 LN spec — autodiff or closed-form —
+            # keeps fp32 [S, H*D] sub/mul temps live per rematted block
+            # backward (4 x 216 MB at flagship geometry, the top HBM
+            # allocations of the depth-14 single-chip step,
+            # runs/chip_r5b/depth14.log); the kernel keeps fp32 in VMEM
+            q = HeadLayerNorm(eps=1e-6, param_dtype=self.param_dtype,
+                              name="norm_q")(q)
+            k = HeadLayerNorm(eps=1e-6, param_dtype=self.param_dtype,
+                              name="norm_k")(k)
 
         if sp_mesh is not None:
             # sequence-parallel ring attention over the `sp` mesh axis —

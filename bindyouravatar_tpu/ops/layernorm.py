@@ -116,6 +116,11 @@ def _ln_closed_bwd(x, scale, g, eps, mu=None, r=None):
 
 def _ln_bwd(eps, res, g):
     x, scale, bias = res
+    d = x.shape[-1]
+    if (jax.default_backend() == "tpu" and d % 128 == 0 and x.ndim >= 2
+            and x.dtype != jnp.float64):
+        dx, dscale, dbias = _ln_bwd_pallas(x, scale, g, eps)
+        return dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype)
     dx, dscale, dbias = _ln_closed_bwd(x, scale, g, eps)
     return dx, dscale, dbias.astype(bias.dtype)
 
@@ -160,3 +165,226 @@ def _lean_bwd(eps, res, g):
 
 
 lean_layernorm.defvjp(_lean_fwd, _lean_bwd)
+
+
+# --------------------------------------------------------------------- #
+# Pallas LN BACKWARD (row LN, d % 128 == 0) — used by fused_layernorm
+# --------------------------------------------------------------------- #
+
+def _ln_bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, db_ref,
+                   *, eps: float, m: int, rows: int):
+    i = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    # boundary block: zero out-of-range rows so the ds/db row-sums are
+    # exact (Pallas pads boundary LOADS with undefined values)
+    valid = (i * rows + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)) < m
+    g = jnp.where(valid, g, 0.0)
+    x = jnp.where(valid, x, 0.0)
+    s = s_ref[...]                                    # [1, d] fp32
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = xc * r
+    gy = g * s
+    mg = jnp.mean(gy, axis=-1, keepdims=True)
+    mgx = jnp.mean(gy * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (r * (gy - mg - xhat * mgx)).astype(dx_ref.dtype)
+    ds_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)
+    db_ref[...] = jnp.sum(g, axis=0, keepdims=True)
+
+
+def _ln_bwd_pallas(x, scale, g, eps):
+    """dx in x.dtype straight from VMEM — no fp32 [.., D] HBM temps (the
+    closed-form XLA backward materialises x32/xhat/gy at 216 MB each at the
+    flagship QK/audio-norm shape; 4 of those were the depth-14 limiter,
+    runs/chip_r5b/depth14.log)."""
+    shape = x.shape
+    d = shape[-1]
+    m = 1
+    for v in shape[:-1]:
+        m *= v
+    xf = x.reshape(m, d)
+    gf = g.reshape(m, d)
+    rows = min(256, max(8, m))
+    nb = pl.cdiv(m, rows)
+    spec = pl.BlockSpec((rows, d), lambda i: (i, 0))
+    vspec = pl.BlockSpec((1, d), lambda i: (0, 0))
+    pspec = pl.BlockSpec((1, d), lambda i: (i, 0))
+    dx, dsp, dbp = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps, m=m, rows=rows),
+        grid=(nb,),
+        in_specs=[spec, vspec, spec],
+        out_specs=[spec, pspec, pspec],
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((nb, d), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xf, scale.astype(jnp.float32).reshape(1, d), gf)
+    return dx.reshape(shape), jnp.sum(dsp, 0), jnp.sum(dbp, 0)
+
+
+# --------------------------------------------------------------------- #
+# Per-head LayerNorm (QK norms: dh-wide segments of a flat [.., H*dh] row)
+# --------------------------------------------------------------------- #
+
+def _seg_mats(c: int, dh: int):
+    """Head-indicator matrices for MXU segment stats (the packed-attention
+    `_pair_kernel` trick, ops/packed_attention.py:227): seg[ch, h] = 1 iff
+    ch // dh == h.  Segment means become one full-width matmul instead of
+    sub-128-lane slicing; lanes h >= H are all-zero and drop out."""
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    seg = (ci // dh == hi).astype(jnp.float32)              # [C, 128]
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (128, c), 1)
+    hi2 = jax.lax.broadcasted_iota(jnp.int32, (128, c), 0)
+    seg_t = (ci2 // dh == hi2).astype(jnp.float32)          # [128, C]
+    return seg, seg_t
+
+
+def _hln_fwd_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float, dh: int):
+    x = x_ref[...].astype(jnp.float32)
+    c = x.shape[-1]
+    seg, seg_t = _seg_mats(c, dh)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    mu_b = dot(dot(x, seg) / dh, seg_t)
+    xc = x - mu_b
+    r = jax.lax.rsqrt(dot(xc * xc, seg) / dh + eps)
+    r_b = dot(r, seg_t)
+    o_ref[...] = (xc * r_b * s_ref[...] + b_ref[...]).astype(o_ref.dtype)
+
+
+def _hln_bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, db_ref,
+                    *, eps: float, dh: int, m: int, rows: int):
+    i = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    valid = (i * rows + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)) < m
+    g = jnp.where(valid, g, 0.0)
+    x = jnp.where(valid, x, 0.0)
+    c = x.shape[-1]
+    seg, seg_t = _seg_mats(c, dh)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    mu_b = dot(dot(x, seg) / dh, seg_t)
+    xc = x - mu_b
+    r = jax.lax.rsqrt(dot(xc * xc, seg) / dh + eps)
+    r_b = dot(r, seg_t)
+    xhat = xc * r_b
+    gy = g * s_ref[...]
+    mg_b = dot(dot(gy, seg) / dh, seg_t)
+    mgx_b = dot(dot(gy * xhat, seg) / dh, seg_t)
+    dx_ref[...] = (r_b * (gy - mg_b - xhat * mgx_b)).astype(dx_ref.dtype)
+    ds_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)   # [1, C]
+    db_ref[...] = jnp.sum(g, axis=0, keepdims=True)
+
+
+def _hln_pallas_ok(x, dh: int) -> bool:
+    c = x.shape[-1]
+    return (jax.default_backend() == "tpu" and x.ndim >= 2
+            and c % 128 == 0 and c // dh <= 128 and c % dh == 0
+            and x.dtype != jnp.float64)
+
+
+def _hln_ref(x, scale, bias, eps):
+    """Spec: LN over dh-wide segments == LN over the last dim of the
+    [..., H, dh] view (identical fp32 math to models.layers.LayerNorm)."""
+    dh = scale.shape[0]
+    shp = x.shape
+    xr = x.reshape(shp[:-1] + (shp[-1] // dh, dh))
+    return _ln_ref(xr, scale, bias, eps).reshape(shp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def head_layernorm(x, scale, bias, eps: float = 1e-6):
+    """Per-head LayerNorm on a FLAT [..., H*dh] tensor (dh = scale size,
+    shared affine across heads) — the training QK norms' shape.  On TPU
+    both forward and backward are single-pass Pallas kernels with MXU
+    segment stats: bf16 read, bf16 dx/out write, fp32 only in VMEM.  The
+    autodiff (and even closed-form XLA) backward of the same math keeps
+    fp32 [.., S, H*dh] sub/mul temps live per rematted block — 216 MB each
+    at flagship geometry, the depth-14 single-chip HBM limiter
+    (runs/chip_r5b/depth14.log top-6 allocations).
+
+    Reference contract: `q_norm`/`k_norm` LayerNorms in
+    `/root/reference/models/transformer.py` applied per attention head.
+    """
+    dh = scale.shape[0]
+    if _hln_pallas_ok(x, dh):
+        shape = x.shape
+        c = shape[-1]
+        m = 1
+        for v in shape[:-1]:
+            m *= v
+        xf = x.reshape(m, c)
+        rows = min(256, max(8, m))
+        h = c // dh
+        spec = pl.BlockSpec((rows, c), lambda i: (i, 0))
+        vspec = pl.BlockSpec((1, c), lambda i: (0, 0))
+        out = pl.pallas_call(
+            functools.partial(_hln_fwd_kernel, eps=eps, dh=dh),
+            grid=(pl.cdiv(m, rows),),
+            in_specs=[spec, vspec, vspec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(xf, jnp.tile(scale.astype(jnp.float32), h).reshape(1, c),
+          jnp.tile(bias.astype(jnp.float32), h).reshape(1, c))
+        return out.reshape(shape)
+    return _hln_ref(x, scale, bias, eps)
+
+
+def _hln_fwd(x, scale, bias, eps):
+    return head_layernorm(x, scale, bias, eps), (x, scale, bias)
+
+
+def _hln_bwd(eps, res, g):
+    x, scale, bias = res
+    dh = scale.shape[0]
+    if _hln_pallas_ok(x, dh):
+        shape = x.shape
+        c = shape[-1]
+        h = c // dh
+        m = 1
+        for v in shape[:-1]:
+            m *= v
+        xf = x.reshape(m, c)
+        gf = g.reshape(m, c)
+        rows = min(256, max(8, m))
+        nb = pl.cdiv(m, rows)
+        spec = pl.BlockSpec((rows, c), lambda i: (i, 0))
+        vspec = pl.BlockSpec((1, c), lambda i: (0, 0))
+        pspec = pl.BlockSpec((1, c), lambda i: (i, 0))
+        dx, dsp, dbp = pl.pallas_call(
+            functools.partial(_hln_bwd_kernel, eps=eps, dh=dh, m=m,
+                              rows=rows),
+            grid=(nb,),
+            in_specs=[spec, vspec, spec],
+            out_specs=[spec, pspec, pspec],
+            out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
+                       jax.ShapeDtypeStruct((nb, c), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, c), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(xf, jnp.tile(scale.astype(jnp.float32), h).reshape(1, c), gf)
+        # fold the per-block row-sums, then the head axis -> [dh]
+        ds = jnp.sum(dsp, 0).reshape(h, dh).sum(0)
+        db = jnp.sum(dbp, 0).reshape(h, dh).sum(0)
+        return (dx.reshape(shape), ds.astype(scale.dtype),
+                db.astype(bias.dtype))
+    # fallback: closed-form on the [..., H, dh] view (lean residuals)
+    shp = x.shape
+    xr = x.reshape(shp[:-1] + (shp[-1] // dh, dh))
+    gr = g.reshape(xr.shape)
+    dx, ds, db = _ln_closed_bwd(xr, scale, gr, eps)
+    return dx.reshape(shp), ds, db.astype(bias.dtype)
+
+
+head_layernorm.defvjp(_hln_fwd, _hln_bwd)

@@ -139,3 +139,138 @@ def test_models_layernorm_lean_flag():
     ref = _ln_ref(x, scale, bias, 1e-5)
     np.testing.assert_allclose(np.asarray(y, jnp.float32),
                                np.asarray(ref, jnp.float32), atol=1e-2)
+
+
+def test_head_layernorm_matches_per_head_spec():
+    """head_layernorm (flat [.., H*dh], affine shared over heads) == LN
+    over the last dim of the [.., H, dh] view, forward and grads."""
+    from bindyouravatar_tpu.ops.layernorm import head_layernorm
+
+    eps = 1e-6
+    ks = jax.random.split(jax.random.key(11), 3)
+    h, dh = 4, 64
+    x = jax.random.normal(ks[0], (2, 23, h * dh), jnp.float32)
+    scale = 1.0 + 0.2 * jax.random.normal(ks[1], (dh,))
+    bias = 0.2 * jax.random.normal(ks[2], (dh,))
+
+    def spec(x_, s_, b_):
+        xr = x_.reshape(2, 23, h, dh)
+        return _ln_ref(xr, s_, b_, eps).reshape(x_.shape)
+
+    out = head_layernorm(x, scale, bias, eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(spec(x, scale, bias)),
+                               atol=1e-5)
+
+    loss = lambda f: (lambda *a: jnp.sum(jnp.sin(f(*a))))
+    g1 = jax.grad(loss(lambda x_, s_, b_: head_layernorm(x_, s_, b_, eps)),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss(spec), argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_head_layernorm_pallas_kernels_interpret():
+    """The TPU segment-stat kernels (fwd + bwd), run in interpret mode,
+    match the spec — including a NON-dividing row grid (boundary masking
+    of the ds/db row-sums)."""
+    import functools as ft
+
+    import jax.experimental.pallas as pl
+    from bindyouravatar_tpu.ops.layernorm import (_hln_bwd_kernel,
+                                                  _hln_fwd_kernel, _ln_ref)
+
+    eps = 1e-6
+    h, dh = 2, 64
+    c = h * dh
+    m = 20                       # rows=8 -> 3 blocks, last one partial
+    ks = jax.random.split(jax.random.key(3), 4)
+    x = jax.random.normal(ks[0], (m, c), jnp.float32)
+    g = jax.random.normal(ks[1], (m, c), jnp.float32)
+    scale = 1.0 + 0.2 * jax.random.normal(ks[2], (dh,))
+    bias = 0.2 * jax.random.normal(ks[3], (dh,))
+    sf = jnp.tile(scale, h).reshape(1, c)
+    bf = jnp.tile(bias, h).reshape(1, c)
+
+    rows = 8
+    nb = -(-m // rows)
+    spec = pl.BlockSpec((rows, c), lambda i: (i, 0))
+    vspec = pl.BlockSpec((1, c), lambda i: (0, 0))
+    pspec = pl.BlockSpec((1, c), lambda i: (i, 0))
+
+    out = pl.pallas_call(
+        ft.partial(_hln_fwd_kernel, eps=eps, dh=dh), grid=(nb,),
+        in_specs=[spec, vspec, vspec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=True)(x, sf, bf)
+    ref = _ln_ref(x.reshape(m, h, dh), scale, bias, eps).reshape(m, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    dx, dsp, dbp = pl.pallas_call(
+        ft.partial(_hln_bwd_kernel, eps=eps, dh=dh, m=m, rows=rows),
+        grid=(nb,), in_specs=[spec, vspec, spec],
+        out_specs=[spec, pspec, pspec],
+        out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
+                   jax.ShapeDtypeStruct((nb, c), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, c), jnp.float32)],
+        interpret=True)(x, sf, g)
+    ds = jnp.sum(dsp, 0).reshape(h, dh).sum(0)
+    db = jnp.sum(dbp, 0).reshape(h, dh).sum(0)
+
+    f = lambda x_, s_, b_: jnp.sum(
+        _ln_ref(x_.reshape(m, h, dh), s_, b_, eps).reshape(m, c) * g)
+    rdx, rds, rdb = jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(rds), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rdb), atol=1e-4)
+
+
+def test_row_ln_bwd_kernel_interpret():
+    """The full-width LN backward kernel (fused_layernorm's TPU vjp)
+    matches autodiff of the spec, non-dividing grid included."""
+    import functools as ft
+
+    import jax.experimental.pallas as pl
+    from bindyouravatar_tpu.ops.layernorm import _ln_bwd_kernel
+
+    eps = 1e-5
+    m, d = 19, 256
+    ks = jax.random.split(jax.random.key(5), 4)
+    x = jax.random.normal(ks[0], (m, d), jnp.float32)
+    g = jax.random.normal(ks[1], (m, d), jnp.float32)
+    scale = 1.0 + 0.2 * jax.random.normal(ks[2], (d,))
+    bias = 0.2 * jax.random.normal(ks[3], (d,))
+
+    rows = 8
+    nb = -(-m // rows)
+    spec = pl.BlockSpec((rows, d), lambda i: (i, 0))
+    vspec = pl.BlockSpec((1, d), lambda i: (0, 0))
+    pspec = pl.BlockSpec((1, d), lambda i: (i, 0))
+    dx, dsp, dbp = pl.pallas_call(
+        ft.partial(_ln_bwd_kernel, eps=eps, m=m, rows=rows),
+        grid=(nb,), in_specs=[spec, vspec, spec],
+        out_specs=[spec, pspec, pspec],
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((nb, d), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, d), jnp.float32)],
+        interpret=True)(x, scale.reshape(1, d).astype(jnp.float32), g)
+
+    f = lambda x_, s_, b_: jnp.sum(_ln_ref(x_, s_, b_, eps) * g)
+    rdx, rds, rdb = jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.sum(dsp, 0)), np.asarray(rds),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(dbp, 0)), np.asarray(rdb),
+                               atol=1e-4)
+
+
+def test_models_head_layernorm_module():
+    """HeadLayerNorm module: same param tree as LayerNorm, per-head math."""
+    from bindyouravatar_tpu.models.layers import HeadLayerNorm
+
+    x, scale, bias = _mk((2, 13, 4), 64, jnp.bfloat16, seed=9)
+    y = HeadLayerNorm(eps=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    ref = _ln_ref(x, scale, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(y, jnp.float32),
+                               np.asarray(ref, jnp.float32), atol=1e-2)
