@@ -171,6 +171,31 @@ lean_layernorm.defvjp(_lean_fwd, _lean_bwd)
 # Pallas LN BACKWARD (row LN, d % 128 == 0) — used by fused_layernorm
 # --------------------------------------------------------------------- #
 
+def _accumulate_row_sums(ds_ref, db_ref, g, xhat, i):
+    """dscale/dbias partials: one (8, C) output block REVISITED by every
+    grid step (the flash kernels' accumulator pattern) — Mosaic rejects
+    (1, C) blocks of an [nb, C] array (sublane dim must be 8-divisible or
+    the array dim), and a full [nb, C] block would need dynamic-row
+    stores.  Row 0 carries the sum; rows 1-7 stay zero."""
+    c = g.shape[-1]
+    part_s = jnp.concatenate(
+        [jnp.sum(g * xhat, axis=0, keepdims=True),
+         jnp.zeros((7, c), jnp.float32)], axis=0)
+    part_b = jnp.concatenate(
+        [jnp.sum(g, axis=0, keepdims=True),
+         jnp.zeros((7, c), jnp.float32)], axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[...] = part_s
+        db_ref[...] = part_b
+
+    @pl.when(i > 0)
+    def _acc():
+        ds_ref[...] = ds_ref[...] + part_s
+        db_ref[...] = db_ref[...] + part_b
+
+
 def _ln_bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, db_ref,
                    *, eps: float, m: int, rows: int):
     i = pl.program_id(0)
@@ -191,8 +216,7 @@ def _ln_bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, db_ref,
     mg = jnp.mean(gy, axis=-1, keepdims=True)
     mgx = jnp.mean(gy * xhat, axis=-1, keepdims=True)
     dx_ref[...] = (r * (gy - mg - xhat * mgx)).astype(dx_ref.dtype)
-    ds_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(g, axis=0, keepdims=True)
+    _accumulate_row_sums(ds_ref, db_ref, g, xhat, i)
 
 
 def _ln_bwd_pallas(x, scale, g, eps):
@@ -211,15 +235,15 @@ def _ln_bwd_pallas(x, scale, g, eps):
     nb = pl.cdiv(m, rows)
     spec = pl.BlockSpec((rows, d), lambda i: (i, 0))
     vspec = pl.BlockSpec((1, d), lambda i: (0, 0))
-    pspec = pl.BlockSpec((1, d), lambda i: (i, 0))
+    pspec = pl.BlockSpec((8, d), lambda i: (0, 0))
     dx, dsp, dbp = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps, m=m, rows=rows),
         grid=(nb,),
         in_specs=[spec, vspec, spec],
         out_specs=[spec, pspec, pspec],
         out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
-                   jax.ShapeDtypeStruct((nb, d), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((8, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -279,8 +303,7 @@ def _hln_bwd_kernel(x_ref, s_ref, g_ref, dx_ref, ds_ref, db_ref,
     mg_b = dot(dot(gy, seg) / dh, seg_t)
     mgx_b = dot(dot(gy * xhat, seg) / dh, seg_t)
     dx_ref[...] = (r_b * (gy - mg_b - xhat * mgx_b)).astype(dx_ref.dtype)
-    ds_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)   # [1, C]
-    db_ref[...] = jnp.sum(g, axis=0, keepdims=True)
+    _accumulate_row_sums(ds_ref, db_ref, g, xhat, i)
 
 
 def _hln_pallas_ok(x, dh: int) -> bool:
@@ -360,7 +383,7 @@ def _hln_bwd(eps, res, g):
         nb = pl.cdiv(m, rows)
         spec = pl.BlockSpec((rows, c), lambda i: (i, 0))
         vspec = pl.BlockSpec((1, c), lambda i: (0, 0))
-        pspec = pl.BlockSpec((1, c), lambda i: (i, 0))
+        pspec = pl.BlockSpec((8, c), lambda i: (0, 0))
         dx, dsp, dbp = pl.pallas_call(
             functools.partial(_hln_bwd_kernel, eps=eps, dh=dh, m=m,
                               rows=rows),
@@ -368,8 +391,8 @@ def _hln_bwd(eps, res, g):
             in_specs=[spec, vspec, spec],
             out_specs=[spec, pspec, pspec],
             out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
-                       jax.ShapeDtypeStruct((nb, c), jnp.float32),
-                       jax.ShapeDtypeStruct((nb, c), jnp.float32)],
+                       jax.ShapeDtypeStruct((8, c), jnp.float32),
+                       jax.ShapeDtypeStruct((8, c), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),

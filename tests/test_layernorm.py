@@ -196,7 +196,7 @@ def test_head_layernorm_pallas_kernels_interpret():
     nb = -(-m // rows)
     spec = pl.BlockSpec((rows, c), lambda i: (i, 0))
     vspec = pl.BlockSpec((1, c), lambda i: (0, 0))
-    pspec = pl.BlockSpec((1, c), lambda i: (i, 0))
+    pspec = pl.BlockSpec((8, c), lambda i: (0, 0))
 
     out = pl.pallas_call(
         ft.partial(_hln_fwd_kernel, eps=eps, dh=dh), grid=(nb,),
@@ -211,8 +211,8 @@ def test_head_layernorm_pallas_kernels_interpret():
         grid=(nb,), in_specs=[spec, vspec, spec],
         out_specs=[spec, pspec, pspec],
         out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
-                   jax.ShapeDtypeStruct((nb, c), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, c), jnp.float32)],
+                   jax.ShapeDtypeStruct((8, c), jnp.float32),
+                   jax.ShapeDtypeStruct((8, c), jnp.float32)],
         interpret=True)(x, sf, g)
     ds = jnp.sum(dsp, 0).reshape(h, dh).sum(0)
     db = jnp.sum(dbp, 0).reshape(h, dh).sum(0)
@@ -245,14 +245,14 @@ def test_row_ln_bwd_kernel_interpret():
     nb = -(-m // rows)
     spec = pl.BlockSpec((rows, d), lambda i: (i, 0))
     vspec = pl.BlockSpec((1, d), lambda i: (0, 0))
-    pspec = pl.BlockSpec((1, d), lambda i: (i, 0))
+    pspec = pl.BlockSpec((8, d), lambda i: (0, 0))
     dx, dsp, dbp = pl.pallas_call(
         ft.partial(_ln_bwd_kernel, eps=eps, m=m, rows=rows),
         grid=(nb,), in_specs=[spec, vspec, spec],
         out_specs=[spec, pspec, pspec],
         out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
-                   jax.ShapeDtypeStruct((nb, d), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((8, d), jnp.float32)],
         interpret=True)(x, scale.reshape(1, d).astype(jnp.float32), g)
 
     f = lambda x_, s_, b_: jnp.sum(_ln_ref(x_, s_, b_, eps) * g)

@@ -47,7 +47,8 @@ def main():
         return vjp(do)[:3]
 
     out = {}
-    for combined in (False, True):
+    variants = () if "--flat_only" in sys.argv else (False, True)
+    for combined in variants:
         fa.COMBINED_BWD = combined
         gf = jax.jit(grad_fn)
         try:
