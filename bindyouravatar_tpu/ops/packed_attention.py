@@ -308,10 +308,40 @@ def _pair_fwd(q, k, v, heads, sm_scale):
     return _pair_impl(q, k, v, heads, sm_scale), (q, k, v)
 
 
+def _pair_spec2(q, k, v, heads, sm_scale):
+    """Closed-form 2-way softmax in the FLAT channel layout (identical
+    math to `_pair_spec` at s == 2: softmax over two logits IS a sigmoid
+    of their difference; per-head dots via a [C, H] segment-indicator
+    einsum, the `_pair_kernel` trick).  Differentiating THIS instead of
+    the einsum spec keeps every autodiff temp [B, M, C]-flat or [B, M, H]:
+    the spec's backward materialised a 64x-lane-padded f32[M, H, 2, 2]
+    (137 MB for 2.14 MB of data) plus a dozen half-padded
+    bf16[2, M, H, dh] reshapes — together the remaining depth-14
+    single-chip HBM gap (runs/chip_r5b/depth14_pln.log items 2, 6-16)."""
+    b, s, m, c = q.shape
+    dh = c // heads
+    f32 = jnp.float32
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    seg = (ci // dh == hi).astype(f32)                     # [C, H]
+    q32 = q.astype(f32) * sm_scale
+    k32 = k.astype(f32)
+    v32 = v.astype(f32)
+    dots = lambda i, j: jnp.einsum("bmc,ch->bmh", q32[:, i] * k32[:, j], seg)
+    w0 = jax.nn.sigmoid(dots(0, 1) - dots(0, 0))           # v1 weight, query 0
+    w1 = jax.nn.sigmoid(dots(1, 1) - dots(1, 0))
+    bcast = lambda w: jnp.einsum("bmh,ch->bmc", w, seg)
+    dv = v32[:, 1] - v32[:, 0]
+    o0 = v32[:, 0] + bcast(w0) * dv
+    o1 = v32[:, 0] + bcast(w1) * dv
+    return jnp.stack([o0, o1], 1).astype(q.dtype)
+
+
 def _pair_bwd(heads, sm_scale, res, g):
     q, k, v = res
+    f = _pair_spec2 if q.shape[1] == 2 else _pair_spec
     _, vjp = jax.vjp(
-        lambda q, k, v: _pair_spec(q, k, v, heads, sm_scale), q, k, v)
+        lambda q, k, v: f(q, k, v, heads, sm_scale), q, k, v)
     return vjp(g)
 
 

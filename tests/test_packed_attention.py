@@ -212,3 +212,30 @@ def test_pair_axis_attention_grads():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_pair_spec2_matches_spec_fwd_and_grads():
+    """The flat closed-form 2-way softmax (_pair_spec2, the memory-lean
+    backward) == the einsum spec, forward and grads."""
+    from bindyouravatar_tpu.ops.packed_attention import (_pair_spec,
+                                                         _pair_spec2)
+
+    heads, dh, m = 4, 32, 13
+    c = heads * dh
+    ks = jax.random.split(jax.random.key(21), 3)
+    q = jax.random.normal(ks[0], (2, 2, m, c))
+    k = jax.random.normal(ks[1], (2, 2, m, c))
+    v = jax.random.normal(ks[2], (2, 2, m, c))
+    sm = dh ** -0.5
+
+    o1 = _pair_spec2(q, k, v, heads, sm)
+    o2 = _pair_spec(q, k, v, heads, sm)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+
+    loss = lambda f: (lambda *a: jnp.sum(jnp.sin(f(*a, heads, sm))))
+    g1 = jax.grad(loss(_pair_spec2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(_pair_spec), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
